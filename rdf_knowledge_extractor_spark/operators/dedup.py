@@ -1,0 +1,97 @@
+"""Triple deduplication operators.
+
+The reference has two dedup paths, both O(n²)/O(n·m) in-memory scans:
+
+- merge-path first-occurrence dedup (ref:src/core/extractor.rs:327-343):
+  keep the FIRST occurrence of each (s,p,o); the first row's
+  confidence/source/metadata win.  DataFrames are unordered, so "first"
+  is materialized via explicit `(doc_seq, triple_seq)` ordinals and a
+  window `row_number() == 1` — a single hash-partitioned shuffle on the
+  key, scale-safe (no O(n²)).
+
+- store insert-if-absent (ref:src/knowledge_graph/mod.rs:91-114):
+  `add_triples` skips (s,p,o) already present and reports how many rows
+  were added.  Expressed as a left ANTI join against the existing graph
+  (shuffle-hash/SMJ picked by AQE; at Iceberg scale this is
+  `MERGE INTO … WHEN NOT MATCHED THEN INSERT`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TRIPLE_KEY = ("subject", "predicate", "object")
+
+
+def first_occurrence_dedup(
+    df: DataFrame,
+    keys: tuple[str, ...] = TRIPLE_KEY,
+    order_cols: tuple[str, ...] = ("doc_seq", "triple_seq"),
+) -> DataFrame:
+    """Keep the first occurrence per key (first row's payload wins).
+
+    Equivalent semantics to ref:src/core/extractor.rs:327-343 but hash
+    + window instead of nested scan.  `dropDuplicates` would be
+    nondeterministic about the surviving row; this is not.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def insert_new_triples(
+    graph_df: DataFrame | None,
+    batch_df: DataFrame,
+    dedup_batch: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(new_rows, updated_graph) — store-style insert-if-absent.
+
+    Parity with ref:src/knowledge_graph/mod.rs:91-114: rows whose
+    (s,p,o) already exist in the graph are skipped; the batch is also
+    self-deduplicated (the reference's sequential loop implies it).
+    `new_rows.count()` is the reference's returned added-count.
+    """
+    batch = first_occurrence_dedup(batch_df) if dedup_batch else batch_df
+    if graph_df is None:
+        return batch, batch
+    new_rows = batch.join(
+        graph_df.select(*TRIPLE_KEY), on=list(TRIPLE_KEY), how="left_anti"
+    )
+    updated = graph_df.unionByName(new_rows, allowMissingColumns=True)
+    return new_rows, updated
+
+
+def merge_results(per_doc_triples: DataFrame, deduplicate: bool = True) -> DataFrame:
+    """Merge-path (`--merge`) union + dedup
+    (ref:src/core/extractor.rs:210-244).  Inputs are already one
+    DataFrame in this engine; the merge is the global first-occurrence
+    dedup across documents ordered by (doc_seq, triple_seq)."""
+    if deduplicate:
+        return first_occurrence_dedup(per_doc_triples)
+    return per_doc_triples
+
+
+def exact_dedup_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-hash document dedup: one representative per identical text.
+
+    Map-side partial aggregation via groupBy(min) — scale-safe: a
+    single shuffle on the 64-bit content hash, not on the full text.
+    """
+    h = F.xxhash64(F.col(text_col))
+    key_col = "_text_hash"
+    ordered_id = docs.columns[0]
+    return (
+        docs.withColumn(key_col, h)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(F.col(ordered_id).asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", key_col)
+    )
