@@ -1,0 +1,213 @@
+"""Entity linking: MinHash-LSH blocking + verified candidate edges.
+
+North-star stage (BASELINE.json): coreferent entity URIs produced by
+extraction ("TechCorp Inc." / "TechCorp" / "TechCorp, Inc." …) must be
+discovered as link candidates WITHOUT an O(n²) comparison.  Design:
+
+1. entity universe  = distinct subjects + URI objects of the triple
+   table (one shuffle for the distinct);
+2. normalize        = pure-Catalyst canonical key (lowercased local
+   name, non-alnum stripped, trailing corporate suffix token removed)
+   and its character-3-gram shingle array;
+3. MinHash          = vectorized pandas UDF (numpy; 64 universal-hash
+   permutations folded into b=32 bands × r=2 rows) — each entity emits
+   32 (band_idx, band_val) bucket keys;
+4. blocking join    = self-equi-join on the bucket key; `uri_a <
+   uri_b` halves the pairs; AQE skew-join splits hot buckets, and
+   buckets larger than `max_bucket_size` are dropped (and counted)
+   rather than allowed to produce a quadratic blow-up — the classic
+   stop-word rule of LSH blocking;
+5. verification     = pure-Catalyst Jaccard on the shingle arrays
+   (size(intersect)/size(union)) OR canonical-key equality — no
+   Python in the verify path;
+6. edges → connected components (operators/components.py) →
+   canonical id per cluster.
+
+The reference has no equivalent (its store keeps every surface-form
+URI distinct); this stage is the scale-mandated addition
+(BASELINE.json north_star, PAPERS.md: SparkER/MinoanER blocking).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rdf_knowledge_extractor_spark.operators.components import connected_components
+
+_MERSENNE = (1 << 61) - 1
+# corporate suffix tokens, matched ONLY at a CamelCase token boundary
+# (lookbehind for a lowercase char/digit) so stems like "Techcorp"
+# keep their embedded "corp"
+_SUFFIXES = "Inc|Corp|Corporation|Solutions|Industries|Group|Labs|Ltd|Llc|Gmbh"
+
+DEFAULT_NUM_PERM = 64
+DEFAULT_BANDS = 32  # r = NUM_PERM / BANDS = 2
+
+
+def entity_universe(triples: DataFrame) -> DataFrame:
+    """Distinct entity URIs: all subjects + URI-shaped objects."""
+    subs = triples.select(F.col("subject").alias("uri"))
+    objs = triples.select(F.col("object").alias("uri")).filter(
+        F.col("object").startswith("http://") | F.col("object").startswith("https://")
+    )
+    return subs.unionByName(objs).distinct()
+
+
+def with_canonical_key(entities: DataFrame, uri_col: str = "uri") -> DataFrame:
+    """Add `key` (normalized local name) and `shingles` (char 3-grams).
+
+    All pure Catalyst: local name = after last '/' then last '#';
+    lowercase; strip non-alnum; strip one trailing corporate suffix.
+    """
+    local = F.element_at(F.split(F.element_at(F.split(F.col(uri_col), "/"), -1), "#"), -1)
+    unsuffixed = F.regexp_replace(local, f"(?<=[a-z0-9])({_SUFFIXES})$", "")
+    norm = F.lower(F.regexp_replace(local, "[^a-zA-Z0-9]", ""))
+    stripped = F.lower(F.regexp_replace(unsuffixed, "[^a-zA-Z0-9]", ""))
+    key = F.when(F.length(stripped) >= 3, stripped).otherwise(norm)
+    df = entities.withColumn("key", key)
+    n = F.length(F.col("key"))
+    # `substring(col, i, 3)` with a dynamic start needs expr-style substr:
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(2)),
+                lambda i: F.col("key").substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array(F.col("key")))
+    return df.withColumn("shingles", shingles)
+
+
+def _minhash_band_udf(num_perm: int, bands: int, seed: int = 17):
+    rows_per_band = num_perm // bands
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bands_of(shingles: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([0] * bands)
+                continue
+            base = np.array(
+                [
+                    int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+                    for s in sh
+                ],
+                dtype=np.uint64,
+            )
+            # h_i(x) = (a_i * x + b_i) mod p   — (S, P) then min over S
+            hashes = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+            sig = hashes.min(axis=0)
+            band_vals = []
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes() + bi.to_bytes(2, "big"), digest_size=8)
+                band_vals.append(int.from_bytes(h.digest(), "big", signed=True))
+            out.append(band_vals)
+        return pd.Series(out)
+
+    return bands_of
+
+
+def lsh_candidate_pairs(
+    entities_with_shingles: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int = 200,
+    uri_col: str = "uri",
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate_pairs(uri_a, uri_b), dropped_buckets(band_idx, band_val, n)).
+
+    Oversized buckets (stop-word shingle patterns / hot head entities)
+    are excluded from pair generation and REPORTED, never silently
+    capped — the caller can route them to a secondary strategy.
+    """
+    bands_of = _minhash_band_udf(num_perm, bands)
+    bucketed = (
+        entities_with_shingles.withColumn("_bands", bands_of(F.col("shingles")))
+        .select(uri_col, F.posexplode("_bands").alias("band_idx", "band_val"))
+    )
+    sizes = bucketed.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
+    dropped = sizes.filter(F.col("n") > max_bucket_size)
+    ok = bucketed.join(
+        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)).select("band_idx", "band_val"),
+        on=["band_idx", "band_val"],
+    )
+    left = ok.select("band_idx", "band_val", F.col(uri_col).alias("uri_a"))
+    right = ok.select("band_idx", "band_val", F.col(uri_col).alias("uri_b"))
+    pairs = (
+        left.join(right, on=["band_idx", "band_val"])
+        .filter(F.col("uri_a") < F.col("uri_b"))
+        .select("uri_a", "uri_b")
+        .distinct()
+    )
+    return pairs, dropped
+
+
+def verified_edges(
+    pairs: DataFrame,
+    entities_with_shingles: DataFrame,
+    threshold: float = 0.7,
+    uri_col: str = "uri",
+) -> DataFrame:
+    """Filter candidates: canonical-key equality OR shingle Jaccard ≥ t.
+
+    Pure Catalyst (array_intersect/array_union) — hot entities that
+    appear in many pairs are handled by the AQE skew-join splitter.
+    """
+    ent = entities_with_shingles.select(
+        F.col(uri_col), F.col("key"), F.col("shingles")
+    )
+    a = ent.select(
+        F.col(uri_col).alias("uri_a"), F.col("key").alias("key_a"), F.col("shingles").alias("sh_a")
+    )
+    b = ent.select(
+        F.col(uri_col).alias("uri_b"), F.col("key").alias("key_b"), F.col("shingles").alias("sh_b")
+    )
+    joined = pairs.join(a, on="uri_a").join(b, on="uri_b")
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return joined.filter((F.col("key_a") == F.col("key_b")) | (jaccard >= threshold)).select(
+        "uri_a", "uri_b"
+    )
+
+
+def link_entities(
+    triples: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Full linking stage: triples → mapping(uri, canonical).
+
+    canonical = min URI of the connected component (deterministic).
+    Every entity in the universe appears in the mapping (identity rows
+    for un-linked entities), so downstream remaps are total.
+    """
+    universe = entity_universe(triples)
+    ent = with_canonical_key(universe).persist()
+    pairs, _dropped = lsh_candidate_pairs(
+        ent, num_perm=num_perm, bands=bands, max_bucket_size=max_bucket_size
+    )
+    edges = verified_edges(pairs, ent, threshold=threshold)
+    components = connected_components(edges, src="uri_a", dst="uri_b")
+    mapping = (
+        ent.select(F.col("uri").alias("node"))
+        .join(components, on="node", how="left")
+        .select(
+            F.col("node").alias("uri"),
+            F.coalesce(F.col("component"), F.col("node")).alias("canonical"),
+        )
+    )
+    ent.unpersist()
+    return mapping
