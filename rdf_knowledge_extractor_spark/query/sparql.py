@@ -1,0 +1,287 @@
+"""Query layer over the graph table.
+
+Two engines:
+
+1. `execute_simple_sparql` — faithful port of the reference's
+   pattern-matching "SPARQL" (ref:src/knowledge_graph/mod.rs:116-166):
+   only SELECT accepted; `?name`+`hasName` → (name, entity),
+   `?role`+`hasRole` → (role, person), anything else → full dump.
+
+2. `SparqlEngine` — a real mini-SPARQL front-end the reference never
+   had (its templates carry real queries that the fake engine ignores,
+   e.g. ref:templates/sales_target_companies.yaml:12-24 with OPTIONAL
+   / ORDER BY DESC / LIMIT).  Supported subset: PREFIX, SELECT ?v…|*,
+   basic graph patterns with `;` predicate lists and `a` = rdf:type,
+   OPTIONAL { … }, ORDER BY (ASC|DESC)(?v), LIMIT n.  Compilation is
+   classic BGP-as-self-joins: one aliased scan of the triples table
+   per pattern, equi-joined on shared variables; OPTIONAL groups are
+   left joins.  Catalyst then does join reordering/pushdown; a
+   predicate-partitioned graph table turns each pattern scan into a
+   pruned file scan.  Top-k (ORDER BY+LIMIT) lowers to Spark's
+   TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# 1. faithful reference engine
+# ---------------------------------------------------------------------------
+
+def execute_simple_sparql(graph: DataFrame, query: str) -> DataFrame:
+    # ref:src/knowledge_graph/mod.rs:116-125
+    if not query.strip().lower().startswith("select"):
+        raise SparqlError(
+            "Only SELECT queries are supported in this simplified implementation"
+        )
+    # ref:src/knowledge_graph/mod.rs:134-162
+    if "?name" in query and "hasName" in query:
+        return graph.filter(F.col("predicate").contains("hasName")).select(
+            F.col("object").alias("name"), F.col("subject").alias("entity")
+        )
+    if "?role" in query and "hasRole" in query:
+        return graph.filter(F.col("predicate").contains("hasRole")).select(
+            F.col("object").alias("role"), F.col("subject").alias("person")
+        )
+    return graph.select("subject", "predicate", "object")
+
+
+# ---------------------------------------------------------------------------
+# 2. real mini-SPARQL
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _Pattern:
+    s: str
+    p: str
+    o: str
+
+
+@dataclass
+class _Group:
+    patterns: list[_Pattern] = field(default_factory=list)
+    optionals: list["_Group"] = field(default_factory=list)
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<uri><[^>]*>)
+  | (?P<literal>"(?:[^"\\]|\\.)*")
+  | (?P<var>\?[A-Za-z_][\w]*)
+  | (?P<pname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
+  | (?P<kw>[A-Za-z_][\w]*)
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<punct>[{}().;,*])
+    """,
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    toks = []
+    for m in _TOKEN_RE.finditer(text):
+        toks.append(m.group(0))
+    return toks
+
+
+class SparqlEngine:
+    def __init__(self, graph: DataFrame):
+        self.graph = graph
+
+    # -- parsing -----------------------------------------------------
+    def parse(self, query: str):
+        toks = _tokenize(query)
+        pos = 0
+        prefixes: dict[str, str] = {}
+
+        def peek():
+            return toks[pos] if pos < len(toks) else None
+
+        def take():
+            nonlocal pos
+            t = peek()
+            pos += 1
+            return t
+
+        def expect(t):
+            got = take()
+            if got is None or got.lower() != t.lower():
+                raise SparqlError(f"expected {t!r}, got {got!r}")
+
+        while peek() and peek().upper() == "PREFIX":
+            take()
+            pname = take()
+            uri = take()
+            if not (pname and pname.endswith(":") or (pname and ":" in pname)):
+                # tokenizer yields "px:" as pname only with local part; handle bare "px" ":"? tokenised as kw
+                pass
+            if uri is None or not uri.startswith("<"):
+                raise SparqlError("PREFIX needs <uri>")
+            prefixes[pname.rstrip(":").split(":")[0]] = uri[1:-1]
+
+        expect("SELECT")
+        proj: list[str] = []
+        star = False
+        while peek() and peek().upper() != "WHERE":
+            t = take()
+            if t == "*":
+                star = True
+            elif t.startswith("?"):
+                proj.append(t[1:])
+            else:
+                raise SparqlError(f"bad projection term {t!r}")
+        expect("WHERE")
+
+        def resolve(term: str) -> str:
+            if term == "a":
+                return RDF_TYPE
+            if term.startswith("<"):
+                return term[1:-1]
+            if term.startswith('"'):
+                return '\0LIT' + term[1:-1].replace('\\"', '"')
+            if ":" in term and not term.startswith("?"):
+                px, local = term.split(":", 1)
+                if px not in prefixes:
+                    raise SparqlError(f"unknown prefix {px!r}")
+                return prefixes[px] + local
+            return term  # ?var
+
+        def parse_group() -> _Group:
+            nonlocal pos
+            expect("{")
+            g = _Group()
+            while peek() and peek() != "}":
+                if peek().upper() == "OPTIONAL":
+                    take()
+                    g.optionals.append(parse_group())
+                    continue
+                subj = resolve(take())
+                while True:
+                    pred = resolve(take())
+                    while True:
+                        obj = resolve(take())
+                        g.patterns.append(_Pattern(subj, pred, obj))
+                        if peek() == ",":
+                            take()
+                            continue
+                        break
+                    if peek() == ";":
+                        take()
+                        if peek() in (".", "}"):  # dangling ;
+                            break
+                        continue
+                    break
+                if peek() == ".":
+                    take()
+            expect("}")
+            return g
+
+        group = parse_group()
+
+        order: list[tuple[str, bool]] = []  # (var, descending)
+        limit: int | None = None
+        while peek():
+            t = take()
+            up = t.upper()
+            if up == "ORDER":
+                expect("BY")
+                while peek() and peek().upper() not in ("LIMIT",):
+                    t2 = take()
+                    if t2.upper() in ("ASC", "DESC"):
+                        expect("(")
+                        v = take()
+                        expect(")")
+                        order.append((v[1:], t2.upper() == "DESC"))
+                    elif t2.startswith("?"):
+                        order.append((t2[1:], False))
+                    else:
+                        raise SparqlError(f"bad ORDER BY term {t2!r}")
+            elif up == "LIMIT":
+                limit = int(take())
+            else:
+                raise SparqlError(f"unexpected token {t!r}")
+
+        return proj, star, group, order, limit
+
+    # -- compilation ---------------------------------------------------
+    def _compile_pattern(self, p: _Pattern) -> tuple[DataFrame, set[str]]:
+        df = self.graph
+        var_cols: dict[str, str] = {}  # var name → first source column
+        for term, col in ((p.s, "subject"), (p.p, "predicate"), (p.o, "object")):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in var_cols:  # repeated var within one pattern
+                    df = df.filter(F.col(col) == F.col(var_cols[var]))
+                else:
+                    var_cols[var] = col
+            elif term.startswith("\0LIT"):
+                df = df.filter(F.col(col) == term[4:])
+            else:
+                df = df.filter(F.col(col) == term)
+        if var_cols:
+            out = df.select(*[F.col(c).alias(v) for v, c in var_cols.items()])
+        else:
+            out = df.select(F.lit(1).alias("_one")).limit(1)
+        return out, set(var_cols)
+
+    def _compile_group(self, g: _Group) -> DataFrame:
+        if not g.patterns and not g.optionals:
+            raise SparqlError("empty group")
+        df: DataFrame | None = None
+        for p in g.patterns:
+            pdf, _ = self._compile_pattern(p)
+            if df is None:
+                df = pdf
+            else:
+                common = sorted(set(df.columns) & set(pdf.columns))
+                df = df.join(pdf, on=common) if common else df.crossJoin(pdf)
+        for opt in g.optionals:
+            odf = self._compile_group(opt)
+            if df is None:
+                df = odf
+            else:
+                common = sorted(set(df.columns) & set(odf.columns))
+                df = df.join(odf, on=common, how="left") if common else df.crossJoin(odf)
+        return df
+
+    def execute(self, query: str) -> DataFrame:
+        proj, star, group, order, limit = self.parse(query)
+        df = self._compile_group(group)
+        if order:
+            df = df.orderBy(
+                *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
+            )
+        if star:
+            df = df.select(*sorted(df.columns))
+        elif proj:
+            missing = [v for v in proj if v not in df.columns]
+            for v in missing:  # unbound projection vars → NULL (SPARQL semantics)
+                df = df.withColumn(v, F.lit(None).cast("string"))
+            df = df.select(*proj)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+
+def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
+    """Real engine with fallback to the faithful reference dispatcher."""
+    if not query.strip().lower().startswith(("select", "prefix")):
+        raise SparqlError(
+            "Only SELECT queries are supported in this simplified implementation"
+        )
+    try:
+        return SparqlEngine(graph).execute(query)
+    except SparqlError:
+        return execute_simple_sparql(graph, query)
