@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: documents → synthetic HTML wrap →
+byte-identical html_to_text UDF → derived triples → first-occurrence
+dedup (the extract→normalize→dedup spine of the engine).
+
+`queries()` / `oracle_sql()` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data operator family, each with an
+ANSI-SQL DuckDB oracle where SQL-expressible (non-expressible ops are
+registered without an oracle → weaker rows-only check, as allowed).
 """
 
 from __future__ import annotations
@@ -12,27 +15,710 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from rdf_knowledge_extractor_spark.sources.doc_triples import (
+    BASE,
+    DEDUP_SQL,
+    DERIVE_TRIPLES_SQL,
+    KNOWN_PREDICATES,
+    NS,
+    derive_triples,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# table loaders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Deduplicated derived triple table (the 'graph')."""
+    from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
+
+    return first_occurrence_dedup(derive_triples(_docs(spark, sf)))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """documents → HTML wrap → html_to_text UDF → triples → dedup."""
+    from rdf_knowledge_extractor_spark.functions.html_text import html_to_text
+    from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
+
+    docs = _docs(spark, SF_DEFAULT)
+    esc = F.replace(
+        F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    pages = docs.withColumn(
+        "html",
+        F.encode(
+            F.concat(F.lit("<html><head><title>doc</title></head><body><p>"), esc, F.lit("</p></body></html>")),
+            "UTF-8",
+        ),
+    )
+    extracted = pages.withColumn("ex_text", html_to_text(F.col("html")))
+    # per-row invariant: extracted text == trimmed source text
+    checked = extracted.withColumn(
+        "roundtrip_ok", F.col("ex_text") == F.trim(F.col("text"))
+    )
+    triples = derive_triples(
+        checked.filter(F.col("roundtrip_ok")).select("doc_id", "text", "lang", "source")
+    )
+    return first_occurrence_dedup(triples)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_STRICT_URI_SQL = "(object LIKE 'http://%' OR object LIKE 'https://%')"
+
+
+def q_kg_triples_derive(spark, sf):
+    return derive_triples(_docs(spark, sf)).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
+
+
+def q_kg_dedup_first(spark, sf):
+    return _graph(spark, sf).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
+
+
+def q_kg_insert_new(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.dedup import (
+        first_occurrence_dedup,
+        insert_new_triples,
+    )
+
+    t = derive_triples(_docs(spark, sf))
+    graph = first_occurrence_dedup(t.filter(F.col("doc_seq") % 2 == 0))
+    batch = t.filter(F.col("doc_seq") % 2 == 1)
+    new_rows, _ = insert_new_triples(graph, batch)
+    return new_rows.select("subject", "predicate", "object")
+
+
+def q_kg_stats(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.stats import graph_statistics
+
+    return graph_statistics(_graph(spark, sf))
+
+
+def q_kg_entities_by_type(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.stats import get_entities_by_type
+
+    return get_entities_by_type(_graph(spark, sf), "Document", NS).distinct()
+
+
+def q_kg_entity_properties(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.stats import get_entity_properties
+
+    return get_entity_properties(_graph(spark, sf), BASE + "doc0").select(
+        "predicate", F.array_join(F.sort_array("objects"), "|").alias("objects_str")
+    )
+
+
+def q_kg_query_name_pattern(spark, sf):
+    from rdf_knowledge_extractor_spark.query.sparql import execute_simple_sparql
+
+    return execute_simple_sparql(
+        _graph(spark, sf), "SELECT ?name WHERE { ?e hasName ?name }"
+    )
+
+
+def q_kg_query_role_pattern(spark, sf):
+    from rdf_knowledge_extractor_spark.query.sparql import execute_simple_sparql
+
+    return execute_simple_sparql(
+        _graph(spark, sf), "SELECT ?role WHERE { ?p hasRole ?role }"
+    )
+
+
+def q_kg_sparql_bgp(spark, sf):
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?doc ?lang WHERE {{
+      ?doc kg:belongsTo <{BASE}src_src0> ;
+           kg:hasLang ?lang .
+    }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_traversal_2hop(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.traversal import find_related_entities
+
+    return find_related_entities(_graph(spark, sf), BASE + "doc0", max_depth=2)
+
+
+def q_kg_validation_filter(spark, sf):
+    from rdf_knowledge_extractor_spark.config import Configuration, RdfSchema
+    from rdf_knowledge_extractor_spark.operators.validate import apply_validation_rules
+
+    cfg = Configuration(
+        name="entry",
+        rdf_schema=RdfSchema(namespace=NS, prefix="kg", base_uri=BASE, predicates=dict(KNOWN_PREDICATES)),
+        validation_rules=["require_valid_uri", "require_known_predicates"],
+    )
+    return apply_validation_rules(derive_triples(_docs(spark, sf)), cfg).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
+
+
+def q_kg_validation_issues(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.validate import validation_issues
+
+    return validation_issues(derive_triples(_docs(spark, sf)))
+
+
+def q_kg_ntriples_strict(spark, sf):
+    from rdf_knowledge_extractor_spark.sinks.serialization import ntriples_lines
+
+    return ntriples_lines(_graph(spark, sf), strict=True)
+
+
+def q_kg_ntriples_store(spark, sf):
+    from rdf_knowledge_extractor_spark.sinks.serialization import ntriples_lines
+
+    return ntriples_lines(_graph(spark, sf), strict=False)
+
+
+def q_kg_turtle_lines(spark, sf):
+    from rdf_knowledge_extractor_spark.sinks.serialization import turtle_line
+
+    return _graph(spark, sf).select(turtle_line(NS, "kg", store=False).alias("line"))
+
+
+def q_kg_jsonld_nodes(spark, sf):
+    from rdf_knowledge_extractor_spark.sinks.serialization import jsonld_node_lines
+
+    return jsonld_node_lines(_graph(spark, sf), NS, "kg")
+
+
+# -- training-data operators --
+
+def q_dedup_exact(spark, sf):
+    return (
+        _docs(spark, sf)
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.textdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf), k=9, threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.textdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf), k=9, threshold=0.8)
+
+
+def q_dedup_simhash(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.textdedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf), k=9, max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(_emb(spark, sf), threshold=0.45)
+
+
+def q_ann_cosine_topk(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = _emb(spark, sf)
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_ann_lsh_topk(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _emb(spark, sf)
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+def q_text_langid(spark, sf):
+    from rdf_knowledge_extractor_spark.functions.text_analysis import detect_language
+
+    return _docs(spark, sf).select(
+        "doc_id", detect_language(F.col("text")).alias("lang_detected")
+    )
+
+
+def q_text_quality(spark, sf):
+    from rdf_knowledge_extractor_spark.functions.text_analysis import quality_metrics
+
+    return quality_metrics(_docs(spark, sf)).select(
+        "doc_id", "n_words", "avg_word_len", "digit_ratio", "stop_ratio", "quality_score"
+    )
+
+
+def q_text_tokens(spark, sf):
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        token_count_bpe_ish,
+        word_count,
+    )
+
+    return _docs(spark, sf).select(
+        "doc_id",
+        word_count(F.col("text")).cast("long").alias("n_words"),
+        token_count_bpe_ish(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    from rdf_knowledge_extractor_spark.functions.text_analysis import fingerprint_md5
+
+    return _docs(spark, sf).select(
+        "doc_id", fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_multimodal_features(spark, sf):
+    from rdf_knowledge_extractor_spark.functions.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    media = documents_as_media(_docs(spark, sf))
+    return extract_media_features(media, deterministic_fake=True).select(
+        "media_id", "byte_len", "content_md5"
+    )
+
+
+def q_events_hourly(spark, sf):
+    return (
+        _events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sessions(spark, sf):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = _events(spark, sf).withColumn("prev_ts", F.lag("ts").over(w))
+    gap_exceeds = F.expr("ts - prev_ts > INTERVAL 1800 SECONDS")
+    new_session = F.when(F.col("prev_ts").isNull() | gap_exceeds, 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+
+
+def q_tpch_q1(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3ish(spark, sf):
+    cust = spark.read.parquet(f"{sf}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_triples_derive": q_kg_triples_derive,
+        "kg_dedup_first": q_kg_dedup_first,
+        "kg_insert_new": q_kg_insert_new,
+        "kg_stats": q_kg_stats,
+        "kg_entities_by_type": q_kg_entities_by_type,
+        "kg_entity_properties": q_kg_entity_properties,
+        "kg_query_name_pattern": q_kg_query_name_pattern,
+        "kg_query_role_pattern": q_kg_query_role_pattern,
+        "kg_sparql_bgp": q_kg_sparql_bgp,
+        "kg_traversal_2hop": q_kg_traversal_2hop,
+        "kg_validation_filter": q_kg_validation_filter,
+        "kg_validation_issues": q_kg_validation_issues,
+        "kg_ntriples_strict": q_kg_ntriples_strict,
+        "kg_ntriples_store": q_kg_ntriples_store,
+        "kg_turtle_lines": q_kg_turtle_lines,
+        "kg_jsonld_nodes": q_kg_jsonld_nodes,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3ish": q_tpch_q3ish,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _lang_scores_sql() -> str:
+    markers = {
+        "en": [" the ", " and ", " of "],
+        "de": [" der ", " und ", " die "],
+        "fr": [" le ", " et ", " les "],
+        "es": [" el ", " y ", " los "],
+    }
+
+    def occ(m):
+        return (
+            f"CAST((length(' ' || text || ' ') - "
+            f"length(replace(' ' || text || ' ', '{m}', ''))) / {len(m)} AS BIGINT)"
+        )
+
+    return ", ".join(
+        f"({' + '.join(occ(m) for m in ms)}) AS s_{lang}" for lang, ms in markers.items()
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    derive = DERIVE_TRIPLES_SQL
+    dedup = DEDUP_SQL
+    strict_obj = (
+        "CASE WHEN object LIKE 'http://%' OR object LIKE 'https://%' "
+        "THEN '<' || object || '>' "
+        "ELSE '\"' || replace(object, '\"', '\\\"') || '\"' END"
+    )
+    store_term = (
+        lambda col: f"CASE WHEN {col} LIKE 'http%' THEN '<' || {col} || '>' "
+        f"ELSE '\"' || {col} || '\"' END"
+    )
+    turtle_term = (
+        lambda col: f"CASE WHEN {col} LIKE '{NS}%' "
+        f"THEN 'kg:' || substr({col}, {len(NS) + 1}) "
+        f"ELSE '<' || {col} || '>' END"
+    )
+    qm = {
+        "kg_triples_derive": f"SELECT subject, predicate, object, doc_seq, triple_seq FROM ({derive})",
+        "kg_dedup_first": dedup,
+        "kg_insert_new": f"""
+            WITH t AS ({derive}),
+            graph AS (
+              SELECT subject, predicate, object FROM (
+                SELECT *, row_number() OVER (PARTITION BY subject, predicate, object
+                                             ORDER BY doc_seq, triple_seq) rn
+                FROM t WHERE doc_seq % 2 = 0) WHERE rn = 1
+            ),
+            batch AS (
+              SELECT subject, predicate, object FROM (
+                SELECT *, row_number() OVER (PARTITION BY subject, predicate, object
+                                             ORDER BY doc_seq, triple_seq) rn
+                FROM t WHERE doc_seq % 2 = 1) WHERE rn = 1
+            )
+            SELECT b.subject, b.predicate, b.object FROM batch b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM graph g WHERE g.subject = b.subject
+                AND g.predicate = b.predicate AND g.object = b.object)
+        """,
+        "kg_stats": f"""
+            SELECT CAST(count(*) AS BIGINT) AS total_triples,
+                   CAST(count(DISTINCT subject) AS BIGINT) AS unique_subjects,
+                   CAST(count(DISTINCT predicate) AS BIGINT) AS unique_predicates,
+                   CAST(count(DISTINCT object) AS BIGINT) AS unique_objects
+            FROM ({dedup})
+        """,
+        "kg_entities_by_type": f"""
+            SELECT DISTINCT subject AS entity FROM ({dedup})
+            WHERE predicate LIKE '%type%' AND object = '{NS}Document'
+        """,
+        "kg_entity_properties": f"""
+            SELECT predicate, string_agg(object, '|' ORDER BY object) AS objects_str
+            FROM ({dedup}) WHERE subject = '{BASE}doc0' GROUP BY predicate
+        """,
+        "kg_query_name_pattern": f"""
+            SELECT object AS name, subject AS entity FROM ({dedup})
+            WHERE predicate LIKE '%hasName%'
+        """,
+        "kg_query_role_pattern": f"""
+            SELECT object AS role, subject AS person FROM ({dedup})
+            WHERE predicate LIKE '%hasRole%'
+        """,
+        "kg_sparql_bgp": f"""
+            WITH g AS ({dedup})
+            SELECT a.subject AS doc, b.object AS lang
+            FROM g a JOIN g b ON a.subject = b.subject
+            WHERE a.predicate = '{NS}belongsTo' AND a.object = '{BASE}src_src0'
+              AND b.predicate = '{NS}hasLang'
+        """,
+        "kg_traversal_2hop": f"""
+            WITH g AS ({dedup}),
+            edges AS (
+              SELECT subject AS src, object AS dst FROM g WHERE object LIKE 'http%'
+              UNION
+              SELECT object AS src, subject AS dst FROM g WHERE object LIKE 'http%'
+            ),
+            hop1 AS (SELECT DISTINCT dst AS e FROM edges WHERE src = '{BASE}doc0'),
+            hop2 AS (SELECT DISTINCT e2.dst AS e FROM hop1 JOIN edges e2 ON e2.src = hop1.e)
+            SELECT DISTINCT e AS entity FROM (SELECT e FROM hop1 UNION SELECT e FROM hop2)
+            WHERE e <> '{BASE}doc0'
+        """,
+        "kg_validation_filter": f"""
+            SELECT subject, predicate, object, doc_seq, triple_seq FROM ({derive})
+            WHERE subject LIKE 'http%'
+              AND list_extract(string_split(list_extract(string_split(predicate, '/'), -1), '#'), -1)
+                  IN ('hasLang', 'hasSource', 'belongsTo', 'hasName')
+        """,
+        "kg_validation_issues": f"""
+            WITH t AS (
+              SELECT *, row_number() OVER (ORDER BY doc_seq, triple_seq) - 1 AS i
+              FROM ({derive})
+            ),
+            checks AS (
+              SELECT i, 1 AS ord,
+                CASE WHEN NOT (subject LIKE 'http://%' OR subject LIKE 'https://%')
+                  THEN 'Triple ' || CAST(i AS VARCHAR) || ': Invalid subject URI: ' || subject END AS issue FROM t
+              UNION ALL
+              SELECT i, 2,
+                CASE WHEN NOT (predicate LIKE 'http://%' OR predicate LIKE 'https://%')
+                  THEN 'Triple ' || CAST(i AS VARCHAR) || ': Invalid predicate URI: ' || predicate END FROM t
+              UNION ALL
+              SELECT i, 3, CASE WHEN subject = '' THEN 'Triple ' || CAST(i AS VARCHAR) || ': Empty subject' END FROM t
+              UNION ALL
+              SELECT i, 4, CASE WHEN predicate = '' THEN 'Triple ' || CAST(i AS VARCHAR) || ': Empty predicate' END FROM t
+              UNION ALL
+              SELECT i, 5, CASE WHEN object = '' THEN 'Triple ' || CAST(i AS VARCHAR) || ': Empty object' END FROM t
+            )
+            SELECT issue FROM checks WHERE issue IS NOT NULL
+        """,
+        "kg_ntriples_strict": f"""
+            SELECT '<' || subject || '> <' || predicate || '> ' || {strict_obj} || ' .' AS line
+            FROM ({dedup})
+        """,
+        "kg_ntriples_store": f"""
+            SELECT {store_term('subject')} || ' <' || predicate || '> ' || {store_term('object')} || ' .' AS line
+            FROM ({dedup})
+        """,
+        "kg_turtle_lines": f"""
+            SELECT {turtle_term('subject')} || ' ' || {turtle_term('predicate')} || ' ' || {strict_obj} || ' .' AS line
+            FROM ({dedup})
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(text) - 8, 1)),
+                                           i -> substr(text, i, 9))) AS g
+              FROM documents
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8
+        """,
+        "dedup_embedding": """
+            WITH m AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS sim
+            FROM m a JOIN m b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+        """,
+        "ann_cosine_topk": """
+            WITH m AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+              FROM embeddings
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS sim
+              FROM m q JOIN m c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, sim FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+              FROM scored
+            ) WHERE rn <= 5
+        """,
+        "text_langid": f"""
+            WITH s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+            SELECT doc_id,
+              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'es' END AS lang_detected
+            FROM s
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r]')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "multimodal_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   md5(text) AS content_md5
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessions": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM e GROUP BY user_id
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_qty,
+                   round(SUM(l_extendedprice), 2) AS sum_base_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3ish": """
+            SELECT o_orderkey, round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+    }
+    # text_quality shares the word/stopword arithmetic — built separately
+    qm["text_quality"] = _text_quality_sql()
+    # minhash-LSH verified output equals the exact-Jaccard answer
+    # (candidate recall ≈ 1 - 1e-35 at J ≥ 0.9 with 32 bands × 2 rows)
+    qm["dedup_minhash_lsh"] = qm["dedup_ngram_jaccard"]
+    # no oracle (driver records rows-only check):
+    #   kg_jsonld_nodes   — JSON escaping not portable to ANSI SQL
+    #   dedup_simhash     — sketch bit arithmetic not SQL-expressible
+    #   ann_lsh_topk      — approximate by design (benchmarked vs
+    #                       ann_cosine_topk instead)
+    return qm
+
+
+def _text_quality_sql() -> str:
+    stop = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+    occ = lambda m: (
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {m} ', ''))) / {len(m) + 2} AS BIGINT)"
+    )
+    stop_hits = " + ".join(occ(w) for w in stop)
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, text,
+            length(text) AS n_chars,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+            CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces,
+            length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+            ({stop_hits}) AS stop_hits
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, n_words,
+            round(CASE WHEN n_words > 0 THEN (n_chars - n_spaces) * 1.0 / n_words ELSE 0.0 END, 4) AS avg_word_len,
+            round(CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars ELSE 0.0 END, 4) AS digit_ratio,
+            round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0.0 END, 4) AS stop_ratio
+          FROM base
+        )
+        SELECT doc_id, n_words, avg_word_len, digit_ratio, stop_ratio,
+          round(least(1.0, stop_ratio * 2)
+                * CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 1.0 ELSE 0.5 END
+                * (1.0 - digit_ratio), 4) AS quality_score
+        FROM m
     """
-    return {}

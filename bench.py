@@ -1,0 +1,124 @@
+"""Benchmark harness — ONE JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+`value` is total wall-clock seconds across headline queries; the
+`extra` block carries the KG-pipeline throughput (pages/sec and
+triples/sec, the BASELINE.json metric) measured over the synthetic
+pages corpus at a size proportional to SF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    import __spark_entry__ as entry
+    from rdf_knowledge_extractor_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    headline = [
+        "kg_dedup_first",
+        "kg_insert_new",
+        "kg_stats",
+        "kg_sparql_bgp",
+        "kg_ntriples_strict",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_cosine_topk",
+        "text_quality",
+        "events_sessions",
+        "tpch_q1",
+        "tpch_q3ish",
+    ]
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.monotonic() - t0, 3)
+        _ = n
+
+    # KG pipeline throughput on synthetic pages (~proportional to SF)
+    from rdf_knowledge_extractor_spark.config import Configuration, RdfSchema
+    from rdf_knowledge_extractor_spark.functions.extract import (
+        extract_triples_stage,
+        split_triples_and_lineage,
+    )
+    from rdf_knowledge_extractor_spark.functions.html_text import with_extracted_text
+    from rdf_knowledge_extractor_spark.operators.canonicalize import canonicalize_triples
+    from rdf_knowledge_extractor_spark.operators.dedup import merge_results
+    from rdf_knowledge_extractor_spark.operators.linking import link_entities
+    from rdf_knowledge_extractor_spark.sources.pages import pages_dataframe
+
+    n_pages = max(int(20000 * sf), 200)
+    cfg = Configuration(
+        name="bench",
+        rdf_schema=RdfSchema(
+            namespace="http://business.example.org/ontology#",
+            prefix="biz",
+            base_uri="http://business.example.org/resource/",
+            predicates={
+                p: p
+                for p in ["hasName", "hasRole", "worksFor", "locatedIn", "partneredWith"]
+            },
+        ),
+    )
+    pages = pages_dataframe(spark, n_pages, seed=42, num_partitions=cpus * 2).drop("text")
+    pages = pages.persist()
+    pages.count()  # materialize input outside the timed window
+
+    t0 = time.monotonic()
+    text = with_extracted_text(pages)
+    extracted = extract_triples_stage(text, cfg, client_kind="stub")
+    triples, _ = split_triples_and_lineage(extracted)
+    triples = triples.persist()
+    merged = merge_results(triples)
+    mapping = link_entities(merged)
+    graph = canonicalize_triples(merged, mapping)
+    n_triples = graph.count()
+    pipeline_sec = time.monotonic() - t0
+    times["kg_pipeline_full"] = round(pipeline_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "extra": {
+            "pipeline_pages": n_pages,
+            "pipeline_triples": n_triples,
+            "pages_per_sec": round(n_pages / pipeline_sec, 1),
+            "triples_per_sec": round(n_triples / pipeline_sec, 1),
+            "cpus": cpus,
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Text-analysis functions for the training-data pipeline.
+
+All pure Catalyst column expressions (whole-stage codegen; zero
+Python) so they run at 100 TB scan speed: language ID (stopword
+heuristic), quality scoring, token counting, fingerprinting, and
+shingling.  Each has an exact ANSI-SQL equivalent used as the DuckDB
+oracle in `__spark_entry__.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID (language identification without models)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def occurrence_count(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrences of `needle` — portable to ANSI SQL as
+    (length(x) - length(replace(x, n, ''))) / length(n)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    score = F.lit(0).cast("long")
+    for marker in LANG_MARKERS[lang]:
+        score = score + occurrence_count(padded, marker)
+    return score
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over marker-set hit counts; 'und' when all zero.
+    Deterministic tie-break: language list order."""
+    result = F.lit("und")
+    best = F.lit(0).cast("long")
+    for lang in LANG_MARKERS:  # later langs win only on strictly greater
+        s = lang_score(text, lang)
+        result = F.when(s > best, F.lit(lang)).otherwise(result)
+        best = F.when(s > best, s).otherwise(best)
+    return result
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count (ref word-count analog:
+    ref:src/templates/mod.rs:226 `split_whitespace().count()`)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: alnum runs + isolated punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_words, avg_word_len, digit_ratio, stop_ratio, quality_score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = word_count(t)
+    n_spaces = occurrence_count(t, " ")
+    avg_word_len = F.round(
+        F.when(n_words > 0, (n_chars - n_spaces) / n_words).otherwise(F.lit(0.0)), 4
+    )
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    digit_ratio = F.round(
+        F.when(n_chars > 0, digits / n_chars).otherwise(F.lit(0.0)), 4
+    )
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    stop_hits = F.lit(0).cast("long")
+    for w in STOPWORDS:
+        stop_hits = stop_hits + occurrence_count(padded, f" {w} ")
+    stop_ratio = F.round(
+        F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0)), 4
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), stop_ratio * 2)
+        * F.when((avg_word_len >= 2) & (avg_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+        * (F.lit(1.0) - digit_ratio),
+        4,
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality_score", quality)
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic content fingerprint (md5 hex — portable)."""
+    return F.md5(text)
+
+
+def char_shingles(text: Column, k: int = 9) -> Column:
+    """Distinct character k-gram array (pure Catalyst)."""
+    n = F.length(text)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: text.substr(i, F.lit(k)),
+            )
+        ),
+    ).otherwise(F.array(text))

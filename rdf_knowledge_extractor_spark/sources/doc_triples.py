@@ -1,0 +1,94 @@
+"""Deterministic triples derived from the driver's `documents` table.
+
+The driver's correctness gate (DuckDB oracle) needs the KG operator
+suite exercised over tables it can also compute in ANSI SQL.  This
+module derives a triple table from `documents` with the exact SQL
+mirror used by `__spark_entry__.py`'s `oracle_sql()` — every statement
+below has a corresponding UNION ALL branch there.
+
+Statements per document (triple_seq):
+  0  (doc,  hasLang,   lang)           literal
+  1  (doc,  hasSource, source)         literal
+  2  (doc,  belongsTo, src_uri)        URI object → traversal/JSON-LD @id
+  3  (doc,  rdf:type,  Document)       predicate contains "type"
+  4  (src,  hasName,   source)         repeated across docs → dedup food
+  5  (lang, hasRole,   lang)           NON-URI subject → validation food
+
+`doc_seq = doc_id` materializes insertion order for first-occurrence
+semantics (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BASE = "http://kg.example.org/resource/"
+NS = "http://kg.example.org/ontology#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+KNOWN_PREDICATES = {"hasLang": "", "hasSource": "", "belongsTo": "", "hasName": ""}
+
+
+def derive_triples(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → triples."""
+    doc_uri = F.concat(F.lit(BASE + "doc"), F.col("doc_id").cast("string"))
+    src_uri = F.concat(F.lit(BASE + "src_"), F.col("source"))
+
+    def stmt(seq: int, s, p, o):
+        return docs.select(
+            s.alias("subject"),
+            F.lit(p).alias("predicate") if isinstance(p, str) else p.alias("predicate"),
+            o.alias("object"),
+            F.lit(1.0).cast("float").alias("confidence"),
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("source"),
+            F.create_map().cast("map<string,string>").alias("metadata"),
+            F.col("doc_id").cast("long").alias("doc_seq"),
+            F.lit(seq).cast("int").alias("triple_seq"),
+        )
+
+    parts = [
+        stmt(0, doc_uri, NS + "hasLang", F.col("lang")),
+        stmt(1, doc_uri, NS + "hasSource", F.col("source")),
+        stmt(2, doc_uri, NS + "belongsTo", src_uri),
+        stmt(3, doc_uri, RDF_TYPE, F.lit(NS + "Document")),
+        stmt(4, src_uri, NS + "hasName", F.col("source")),
+        stmt(5, F.col("lang"), NS + "hasRole", F.col("lang")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# the exact ANSI-SQL mirror (DuckDB), parameterized as a CTE body
+DERIVE_TRIPLES_SQL = f"""
+  SELECT '{BASE}doc' || CAST(doc_id AS VARCHAR) AS subject,
+         '{NS}hasLang' AS predicate, lang AS object,
+         doc_id AS doc_seq, 0 AS triple_seq
+  FROM documents
+  UNION ALL
+  SELECT '{BASE}doc' || CAST(doc_id AS VARCHAR), '{NS}hasSource', source,
+         doc_id, 1 FROM documents
+  UNION ALL
+  SELECT '{BASE}doc' || CAST(doc_id AS VARCHAR), '{NS}belongsTo',
+         '{BASE}src_' || source, doc_id, 2 FROM documents
+  UNION ALL
+  SELECT '{BASE}doc' || CAST(doc_id AS VARCHAR), '{RDF_TYPE}',
+         '{NS}Document', doc_id, 3 FROM documents
+  UNION ALL
+  SELECT '{BASE}src_' || source, '{NS}hasName', source, doc_id, 4 FROM documents
+  UNION ALL
+  SELECT lang, '{NS}hasRole', lang, doc_id, 5 FROM documents
+"""
+
+# first-occurrence dedup of the derived set, as SQL (window mirror of
+# operators/dedup.first_occurrence_dedup)
+DEDUP_SQL = f"""
+  SELECT subject, predicate, object, doc_seq, triple_seq FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY subject, predicate, object ORDER BY doc_seq, triple_seq
+    ) AS rn
+    FROM ({DERIVE_TRIPLES_SQL})
+  ) WHERE rn = 1
+"""
