@@ -32,6 +32,7 @@ def main() -> None:
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -43,8 +44,10 @@ def main() -> None:
         "kg_sparql_bgp",
         "kg_ntriples_strict",
         "dedup_exact",
+        # dedup_ngram_jaccard (exact pairwise) is the small-SF oracle
+        # baseline only — at scale the MinHash-LSH path below is the
+        # representative fuzzy-dedup operator
         "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
         "ann_cosine_topk",
         "text_quality",
         "events_sessions",

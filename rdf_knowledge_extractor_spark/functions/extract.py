@@ -167,9 +167,10 @@ def extract_triples_stage(
                     build_extraction_prompt(t, questions, schema) for t in texts
                 ]
                 responses = client.generate_structured_batch(prompts, SYSTEM_PROMPT)
-                for (_, page), raw in zip(chunk.iterrows(), responses):
-                    url = page[url_col]
-                    doc_seq = int(page[doc_seq_col])
+                urls = chunk[url_col].tolist()
+                doc_seqs = chunk[doc_seq_col].tolist()
+                for url, doc_seq_raw, raw in zip(urls, doc_seqs, responses):
+                    doc_seq = int(doc_seq_raw)
                     triples, error = parse_llm_response(raw, cfg)
                     if error is not None:
                         rows.append(

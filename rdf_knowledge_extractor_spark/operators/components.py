@@ -6,13 +6,17 @@ its own and its neighbors' labels; converges in O(component diameter)
 rounds (entity-alias clusters are near-star-shaped ⇒ 2-4 rounds).
 
 Scale design:
-- the edge list is symmetrized once and re-used every round
-  (persist + explicit repartition on `src` so every round's join is
-  co-partitioned — one shuffle per round for the aggregation only);
-- per-round `localCheckpoint` truncates the lineage chain (a growing
-  plan is the classic iterative-algorithm OOM at scale);
-- convergence is checked with a cheap aggregate (sum of label
-  changes), not a collect.
+- the symmetrized edge list is persisted once and reused every round;
+- NO explicit repartition — post-shuffle parallelism is left to AQE
+  (`coalescePartitions`), which right-sizes each round for the actual
+  label volume (explicit repartition pins tiny iterations to the full
+  shuffle-partition count and drowns the loop in task overhead; at
+  cluster scale `spark.sql.shuffle.partitions` governs the upper
+  bound);
+- per-round `localCheckpoint` truncates the lineage chain (the classic
+  iterative-algorithm plan blow-up), and the convergence test is a
+  LIMIT-1 existence probe on the already-checkpointed round output —
+  one extra cheap job, not a full aggregate.
 """
 
 from __future__ import annotations
@@ -26,56 +30,56 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
-    num_partitions: int | None = None,
 ) -> DataFrame:
     """DataFrame(node, component) — component = min node id (lexicographic
     for strings) reachable from `node`.  Isolated nodes appear iff they
     appear in `edges` (self-loops allowed)."""
-    spark = edges.sparkSession
-    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .repartition(n_part, "a")
         .persist()
     )
+    # AQE (with canChangeCachedPlanOutputPartitioning, see session.py)
+    # right-sizes the cached post-distinct layout, so every round's map
+    # over `sym` is data-proportional with no manual resize
+    if sym.count() == 0:
+        sym.unpersist()
+        return edges.sparkSession.createDataFrame([], "node string, component string")
 
+    # round 0 seeds each node with min(itself, direct neighbors) — one
+    # aggregation instead of a pure-identity start saves a full round
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .repartition(n_part, "node")
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_min_nbr"))
+        .select("node", F.least(F.col("node"), F.col("_min_nbr")).alias("component"))
         .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
-        # neighbor label propagation: node ← min(own, neighbors' labels)
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("component"))
-            .groupBy("node")
+            .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("new_component"),
+        updated = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.least(
                 F.col("component"),
-            )
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("new_component"),
+            F.col("component").alias("old_component"),
         )
-        changed = updated.agg(
-            F.sum((F.col("new_component") != F.col("component")).cast("long")).alias("n")
-        ).collect()[0]["n"]
-        labels = (
-            updated.select("node", F.col("new_component").alias("component"))
-            .repartition(n_part, "node")
-            .localCheckpoint(eager=True)
-        )
+        # localCheckpoint EVERY round: the run cost of the extra job is
+        # milliseconds, while letting the logical plan nest join-upon-join
+        # makes the driver's single-threaded Catalyst re-analysis the
+        # bottleneck within a handful of rounds (measured: job time ~30 ms,
+        # plan analysis seconds once the tree is a few rounds deep)
+        updated = updated.localCheckpoint(eager=True)
+        changed = not updated.filter(
+            F.col("new_component") != F.col("old_component")
+        ).isEmpty()
+        labels = updated.select("node", F.col("new_component").alias("component"))
         if not changed:
             break
 

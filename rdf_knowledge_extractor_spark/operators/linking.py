@@ -132,17 +132,24 @@ def lsh_candidate_pairs(
     are excluded from pair generation and REPORTED, never silently
     capped — the caller can route them to a secondary strategy.
     """
+    from pyspark.sql import Window
+
     bands_of = _minhash_band_udf(num_perm, bands)
     bucketed = (
         entities_with_shingles.withColumn("_bands", bands_of(F.col("shingles")))
         .select(uri_col, F.posexplode("_bands").alias("band_idx", "band_val"))
     )
-    sizes = bucketed.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("n"))
-    dropped = sizes.filter(F.col("n") > max_bucket_size)
-    ok = bucketed.join(
-        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)).select("band_idx", "band_val"),
-        on=["band_idx", "band_val"],
+    # bucket-size via window count: ONE shuffle on the bucket key (the
+    # same partitioning the pair self-join needs) instead of a groupBy
+    # plus two re-joins
+    w = Window.partitionBy("band_idx", "band_val")
+    sized = bucketed.withColumn("_n", F.count(F.lit(1)).over(w)).persist()
+    dropped = (
+        sized.filter(F.col("_n") > max_bucket_size)
+        .select("band_idx", "band_val", F.col("_n").alias("n"))
+        .distinct()
     )
+    ok = sized.filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket_size))
     left = ok.select("band_idx", "band_val", F.col(uri_col).alias("uri_a"))
     right = ok.select("band_idx", "band_val", F.col(uri_col).alias("uri_b"))
     pairs = (
@@ -193,21 +200,64 @@ def link_entities(
     canonical = min URI of the connected component (deterministic).
     Every entity in the universe appears in the mapping (identity rows
     for un-linked entities), so downstream remaps are total.
+
+    Two-tier design:
+
+    1. **Exact-key tier** — entities sharing a canonical key are one
+       cluster by construction (their shingle sets are identical);
+       one groupBy collapses each key group to its min-URI
+       representative.  This resolves the overwhelming majority of
+       coreference (suffix/punctuation variants) with a single
+       shuffle.
+    2. **Fuzzy tier** — MinHash-LSH + Jaccard verification + connected
+       components run only over the key REPRESENTATIVES (typo-level
+       variants whose keys differ).  When no fuzzy edge exists the CC
+       loop exits before its first iteration, so the tier costs two
+       small jobs.
+
+    The result is identical to running LSH+CC over the full universe
+    (same-key members form cliques, so any cross-key member edge is
+    equivalent to the corresponding representative edge), at a
+    fraction of the job count — this matters both at tiny scale
+    (driver job-latency floor) and at 10^12 scale (the fuzzy tier's
+    candidate space shrinks from |entities|² to |distinct keys|²).
+
+    Partitioning is AQE-governed throughout (post-shuffle coalescing
+    under caching enabled in session.py) — data-proportional task
+    counts with no manual sizing.
     """
     universe = entity_universe(triples)
     ent = with_canonical_key(universe).persist()
-    pairs, _dropped = lsh_candidate_pairs(
-        ent, num_perm=num_perm, bands=bands, max_bucket_size=max_bucket_size
+
+    # tier 1: key group → min-URI representative
+    key_rep = ent.groupBy("key").agg(F.min("uri").alias("rep"))
+    # one entity row per representative (shingles are a function of the
+    # key, so the rep's row carries the group's shingles)
+    reps = (
+        ent.join(key_rep, on="key")
+        .filter(F.col("uri") == F.col("rep"))
+        .select("uri", "key", "shingles")
+        .persist()
     )
-    edges = verified_edges(pairs, ent, threshold=threshold)
+
+    # tier 2: fuzzy linking over representatives
+    pairs, _dropped = lsh_candidate_pairs(
+        reps, num_perm=num_perm, bands=bands, max_bucket_size=max_bucket_size
+    )
+    # key equality is already resolved by tier 1 → only true fuzzy edges
+    edges = verified_edges(pairs, reps, threshold=threshold).filter(
+        F.col("uri_a") != F.col("uri_b")
+    )
     components = connected_components(edges, src="uri_a", dst="uri_b")
-    mapping = (
-        ent.select(F.col("uri").alias("node"))
+    rep_canon = (
+        key_rep.select(F.col("rep").alias("node"), "key")
         .join(components, on="node", how="left")
         .select(
-            F.col("node").alias("uri"),
+            "key",
             F.coalesce(F.col("component"), F.col("node")).alias("canonical"),
         )
     )
+    mapping = ent.join(rep_canon, on="key").select("uri", "canonical")
     ent.unpersist()
+    reps.unpersist()
     return mapping

@@ -28,6 +28,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE shrink tiny post-shuffle stages below core count —
+        # iterative small-data stages (CC rounds, LSH bucketing) would
+        # otherwise pay full task-launch overhead × shuffle.partitions
+        # per round (Spark default keeps parallelism ≥ defaultParallelism)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # default=false disables AQE on persisted plans — the linking /
+        # connected-components stages cache aggressively and would lose
+        # post-shuffle coalescing entirely without this
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -117,7 +117,9 @@ def _make_company(rng: random.Random) -> tuple[str, list[str]]:
     return canonical, aliases
 
 
-def generate_page(doc_seq: int, seed: int = 42) -> Page:
+def generate_page(doc_seq: int, seed: int = 42, n_filler: int | None = None) -> Page:
+    """`n_filler` overrides the random 1-4 filler paragraphs — used by the
+    scaling bench to generate realistically-sized (multi-KB) pages."""
     rng = random.Random((seed << 20) ^ doc_seq)
     company, aliases = _make_company(rng)
     partner, partner_aliases = _make_company(rng)
@@ -204,9 +206,9 @@ def generate_page(doc_seq: int, seed: int = 42) -> Page:
         )
         c.raw("</p>")
         c.ws("\n    ")
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(1, 4) if n_filler is None else n_filler):
         c.raw("<p>")
-        c.text(rng.choice(_FILLER))
+        c.text(" ".join(rng.choice(_FILLER) for _ in range(1 if n_filler is None else 6)))
         c.raw("</p>")
         c.ws("\n    ")
     c.raw("</div>")
@@ -258,6 +260,50 @@ def pages_dataframe(spark, n_pages: int, seed: int = 42, num_partitions: int | N
     if num_partitions:
         df = df.repartition(num_partitions)
     return df
+
+
+def pages_dataframe_distributed(
+    spark,
+    n_pages: int,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    n_filler: int | None = None,
+):
+    """Executor-side page generation (each page is a pure function of
+    (seed, doc_seq)) — scales to millions of pages without shipping
+    them through the driver.  Same rows as `pages_dataframe`."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("doc_seq", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pages = [generate_page(int(i), seed, n_filler) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [p.url for p in pages],
+                    "warc_ts": [p.warc_ts for p in pages],
+                    "html": [p.html for p in pages],
+                    "text": [p.text for p in pages],
+                    "lang": [p.lang for p in pages],
+                    "doc_seq": [p.doc_seq for p in pages],
+                }
+            )
+
+    n_part = num_partitions or spark.sparkContext.defaultParallelism * 2
+    base = spark.range(0, n_pages, numPartitions=n_part).select(F.col("id"))
+    return base.mapInPandas(gen, schema=schema)
 
 
 def gold_triples_dataframe(spark, n_pages: int, seed: int = 42):
