@@ -35,8 +35,16 @@ def read_pages_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream of pages parquet (stand-in for a Kafka/Iceberg
-    streaming source; schema per BASELINE.json input_hint + doc_seq)."""
-    schema = PAGES_SCHEMA.add("doc_seq", "long")
+    streaming source; schema per BASELINE.json input_hint + doc_seq).
+
+    NB: build a fresh StructType — StructType.add mutates in place,
+    so calling it on the shared PAGES_SCHEMA would duplicate columns
+    across invocations."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(PAGES_SCHEMA.fields) + [T.StructField("doc_seq", T.LongType(), False)]
+    )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
