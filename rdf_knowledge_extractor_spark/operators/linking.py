@@ -164,10 +164,15 @@ def lsh_candidate_pairs(
 def verified_edges(
     pairs: DataFrame,
     entities_with_shingles: DataFrame,
-    threshold: float = 0.7,
+    threshold: float = 0.85,
     uri_col: str = "uri",
 ) -> DataFrame:
     """Filter candidates: canonical-key equality OR shingle Jaccard ≥ t.
+
+    Default t=0.85: tier-1 key equality already resolves suffix and
+    punctuation variants, so the fuzzy tier only needs typo-level
+    similarity — and looser thresholds create false merges between
+    short names with numeric suffixes (J(person1, person17)=0.83).
 
     Pure Catalyst (array_intersect/array_union) — hot entities that
     appear in many pairs are handled by the AQE skew-join splitter.
@@ -190,7 +195,7 @@ def verified_edges(
 
 def link_entities(
     triples: DataFrame,
-    threshold: float = 0.7,
+    threshold: float = 0.85,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     max_bucket_size: int = 200,
