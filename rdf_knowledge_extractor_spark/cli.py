@@ -1,0 +1,281 @@
+"""Command-line surface mirroring the reference binary's subcommands
+(ref:src/main.rs:294-358 dispatch): extract, query, export, stats,
+generate, generate-config, validate — so a user of the reference can
+run the same workflows against the Spark engine.
+
+Usage examples:
+    python -m rdf_knowledge_extractor_spark.cli extract \
+        --config cfg.yaml doc1.txt doc2.txt --merge --kg kg.json \
+        -o out.nt --format n-triples
+    python -m rdf_knowledge_extractor_spark.cli query \
+        --kg kg.json "SELECT ?name WHERE { ?e hasName ?name }" --format csv
+    python -m rdf_knowledge_extractor_spark.cli export \
+        --kg kg.json -o graph.ttl --format turtle
+    python -m rdf_knowledge_extractor_spark.cli stats --kg kg.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _spark(args):
+    """(session, owns): only stop sessions this process created —
+    in-process callers (tests, notebooks) keep theirs."""
+    from pyspark.sql import SparkSession
+
+    from rdf_knowledge_extractor_spark.session import get_spark
+
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        return existing, False
+    return get_spark(app_name=f"kgcli-{args.command}", master=args.master), True
+
+
+def _load_kg(spark, path: str):
+    from rdf_knowledge_extractor_spark.sources.kg_json import read_kg_json
+
+    if path and Path(path).exists():
+        return read_kg_json(spark, path)
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+
+    return spark.createDataFrame([], TRIPLE_SCHEMA)
+
+
+def cmd_extract(args) -> int:
+    from rdf_knowledge_extractor_spark.config import Configuration
+    from rdf_knowledge_extractor_spark.functions.extract import (
+        extract_triples_stage,
+        split_triples_and_lineage,
+    )
+    from rdf_knowledge_extractor_spark.operators.dedup import (
+        insert_new_triples,
+        merge_results,
+    )
+    from rdf_knowledge_extractor_spark.operators.validate import validation_issues
+    from rdf_knowledge_extractor_spark.sinks.serialization import serialize
+    from rdf_knowledge_extractor_spark.sources.kg_json import write_kg_json
+    from rdf_knowledge_extractor_spark.sources.text_files import process_documents
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    config = Configuration.from_file(args.config)
+    config.validate()
+    spark, owns = _spark(args)
+    pages = None
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    docs = process_documents(spark, args.inputs, pages)
+    # assign doc_seq by CLI input order (the reference processes inputs
+    # sequentially in argument order, ref:src/core/extractor.rs:199-208)
+    order = {src: i for i, src in enumerate(args.inputs)}
+    order_df = spark.createDataFrame(
+        [(s, i) for s, i in order.items()], "source string, doc_seq long"
+    )
+    docs = docs.join(order_df, on="source")
+    extracted = extract_triples_stage(
+        docs.withColumnRenamed("source", "url"),
+        config,
+        client_kind=args.llm,
+    ).cache()
+    triples, lineage = split_triples_and_lineage(extracted)
+
+    if args.merge:
+        triples = merge_results(triples, config.post_processing.deduplicate)
+
+    if args.validate:
+        issues = [r.issue for r in validation_issues(triples).collect()]
+        for issue in issues:
+            print(f"VALIDATION: {issue}", file=sys.stderr)
+
+    kg = _load_kg(spark, args.kg)
+    new_rows, updated = insert_new_triples(kg, triples)
+    added = new_rows.count()
+    if args.kg:
+        write_kg_json(updated, args.kg)
+
+    if args.output:
+        text = serialize(
+            triples, args.format, config.rdf_schema.namespace, config.rdf_schema.prefix
+        )
+        Path(args.output).write_text(text, encoding="utf-8")
+
+    errs = lineage.agg(F.sum(F.size("errors"))).collect()[0][0] or 0
+    print(
+        f"Extracted {triples.count()} triples from {len(args.inputs)} documents "
+        f"({added} new in knowledge graph, {errs} errors)"
+    )
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    spark, owns = _spark(args)
+    graph = _load_kg(spark, args.kg)
+    query = args.query
+    if query.startswith("@"):  # query from file, like the reference's --file
+        query = Path(query[1:]).read_text()
+    result = execute_sparql(graph, query)
+    rows = [r.asDict() for r in result.collect()]
+    if args.format == "json":
+        print(json.dumps(rows, indent=2, default=str))
+    elif args.format == "csv":
+        cols = result.columns
+        print(",".join(cols))
+        for r in rows:
+            # reference quotes iff the value contains a comma (ref:src/main.rs CSV path)
+            print(",".join(
+                (f'"{v}"' if "," in str(v) else str(v)) if (v := r.get(c)) is not None else ""
+                for c in cols
+            ))
+    else:
+        result.show(args.limit, truncate=False)
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_export(args) -> int:
+    from rdf_knowledge_extractor_spark.sinks.serialization import (
+        serialize_json,
+        serialize_ntriples,
+        serialize_turtle,
+    )
+
+    spark, owns = _spark(args)
+    graph = _load_kg(spark, args.kg)
+    fmt = args.format.lower()
+    # ref:src/knowledge_graph/mod.rs:273-313 — store-variant exports
+    if fmt in ("turtle", "ttl"):
+        text = serialize_turtle(graph, args.namespace, args.prefix, store=True)
+    elif fmt in ("ntriples", "nt"):
+        text = serialize_ntriples(graph, strict=False)
+    elif fmt == "json":
+        text = serialize_json(graph)
+    else:
+        print(f"Unsupported export format: {fmt}. Supported: turtle, ntriples, json", file=sys.stderr)
+        if owns:
+            spark.stop()
+        return 1
+    Path(args.output).write_text(text, encoding="utf-8")
+    print(f"Knowledge graph exported to: {args.output} (format: {fmt})")
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from rdf_knowledge_extractor_spark.operators.stats import graph_statistics
+
+    spark, owns = _spark(args)
+    graph = _load_kg(spark, args.kg)
+    s = graph_statistics(graph).collect()[0]
+    # ref:src/knowledge_graph/mod.rs:342-356 Display format
+    print(
+        "Knowledge Graph Statistics:\n"
+        f"Total Triples: {s.total_triples}\n"
+        f"Unique Subjects: {s.unique_subjects}\n"
+        f"Unique Predicates: {s.unique_predicates}\n"
+        f"Unique Objects: {s.unique_objects}"
+    )
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    from rdf_knowledge_extractor_spark.templates.engine import TemplateManager
+
+    spark, owns = _spark(args)
+    graph = _load_kg(spark, args.kg)
+    mgr = TemplateManager(graph)
+    template = mgr.load(args.template)
+    doc = mgr.generate_document(template.id, context=json.loads(args.context or "{}"))
+    Path(args.output).write_text(doc.generated_content, encoding="utf-8")
+    print(
+        f"Generated document: {args.output} "
+        f"({doc.word_count} words, queries: {', '.join(doc.queries_executed)})"
+    )
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_generate_config(args) -> int:
+    # ref:src/config/mod.rs:120-184 example config
+    from dataclasses import asdict
+
+    from rdf_knowledge_extractor_spark.config import Configuration
+
+    cfg = Configuration.example()
+    import yaml
+
+    Path(args.output).write_text(yaml.safe_dump(asdict(cfg), sort_keys=False))
+    print(f"Example configuration written to: {args.output}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sparkkg")
+    p.add_argument("--master", default=None, help="spark master (default local[*])")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ext = sub.add_parser("extract", help="extract triples from documents")
+    ext.add_argument("inputs", nargs="+")
+    ext.add_argument("--config", required=True)
+    ext.add_argument("--kg", default=None, help="knowledge-graph JSON store path")
+    ext.add_argument("--pages", default=None, help="crawled pages parquet (for URL inputs)")
+    ext.add_argument("--merge", action="store_true")
+    ext.add_argument("--validate", action="store_true")
+    ext.add_argument("-o", "--output", default=None)
+    ext.add_argument("--format", default="n-triples",
+                     choices=["turtle", "json-ld", "n-triples", "rdf-xml", "json"])
+    ext.add_argument("--llm", default="stub", choices=["stub", "http"])
+    ext.set_defaults(fn=cmd_extract)
+
+    q = sub.add_parser("query", help="run a SPARQL query")
+    q.add_argument("query")
+    q.add_argument("--kg", required=True)
+    q.add_argument("--format", default="table", choices=["table", "json", "csv"])
+    q.add_argument("--limit", type=int, default=50)
+    q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("export", help="export the knowledge graph")
+    ex.add_argument("--kg", required=True)
+    ex.add_argument("-o", "--output", required=True)
+    ex.add_argument("--format", default="ntriples")
+    ex.add_argument("--namespace", default="http://example.org/ontology#")
+    ex.add_argument("--prefix", default="ex")
+    ex.set_defaults(fn=cmd_export)
+
+    st = sub.add_parser("stats", help="knowledge-graph statistics")
+    st.add_argument("--kg", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    gen = sub.add_parser("generate", help="generate a document from a template")
+    gen.add_argument("--template", required=True)
+    gen.add_argument("--kg", required=True)
+    gen.add_argument("-o", "--output", required=True)
+    gen.add_argument("--context", default=None, help="JSON object of extra context")
+    gen.set_defaults(fn=cmd_generate)
+
+    gc = sub.add_parser("generate-config", help="write an example config")
+    gc.add_argument("-o", "--output", required=True)
+    gc.set_defaults(fn=cmd_generate_config)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

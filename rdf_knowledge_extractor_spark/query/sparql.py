@@ -156,7 +156,12 @@ class SparqlEngine:
                 if px not in prefixes:
                     raise SparqlError(f"unknown prefix {px!r}")
                 return prefixes[px] + local
-            return term  # ?var
+            if term.startswith("?"):
+                return term
+            # bare unprefixed name: not valid SPARQL — raising here sends
+            # reference-style loose queries ("?e hasName ?name") to the
+            # faithful substring dispatcher via execute_sparql's fallback
+            raise SparqlError(f"bare term {term!r} (expected <uri>, prefix:name, ?var or 'a')")
 
         def parse_group() -> _Group:
             nonlocal pos
