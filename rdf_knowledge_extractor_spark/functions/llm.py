@@ -96,6 +96,32 @@ class HttpLlmClient:
         )
         return [self._post(p + suffix, system_prompt) for p in prompts]
 
+    def check_health(self) -> bool:
+        """GET {base}/health; any non-2xx or network error → False
+        (ref:src/core/llm_client.rs:123-135 — errors map to Ok(false))."""
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(f"{self.base_url}/health", method="GET")
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                return 200 <= resp.status < 300
+        except Exception:
+            return False
+
+    def list_models(self) -> list[str]:
+        """GET {base}/v1/models → model ids
+        (ref:src/core/llm_client.rs:137-154 — non-2xx raises)."""
+        import urllib.request
+
+        req = urllib.request.Request(f"{self.base_url}/v1/models", method="GET")
+        if self.api_key:
+            req.add_header("Authorization", f"Bearer {self.api_key}")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            if not (200 <= resp.status < 300):
+                raise RuntimeError(f"API returned error: {resp.status}")
+            payload = json.loads(resp.read().decode("utf-8"))
+        return [m["id"] for m in payload.get("data", [])]
+
 
 # ---------------------------------------------------------------------------
 # Deterministic stub — the pytest/bench extractor

@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rdf_knowledge_extractor_spark.config import Configuration
@@ -48,15 +48,21 @@ def validation_issues(df: DataFrame, idx_col: str | None = None) -> DataFrame:
     """Diagnostics DataFrame(issue: string) — one row per problem, in the
     reference's wording/order (ref:src/utils/serialization.rs:178-205).
 
-    `idx_col` supplies the triple's ordinal i; if None, row_number over
-    (doc_seq, triple_seq) when present, else a 0-based monotonic order.
+    `idx_col` supplies the triple's ordinal i; if None, a dense global
+    rank over (doc_seq, triple_seq) when present, else over an arbitrary
+    stable order.  The rank is assigned by the distributed zipWithIndex
+    pattern (`ordinal.zip_with_ordinal`) — NOT a partition-less window,
+    which would gather the whole table into one task.
     """
+    from rdf_knowledge_extractor_spark.operators.ordinal import zip_with_ordinal
+
     if idx_col is None:
         if "doc_seq" in df.columns and "triple_seq" in df.columns:
-            w = Window.orderBy("doc_seq", "triple_seq")
+            order = ["doc_seq", "triple_seq"]
         else:
-            w = Window.orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("_i", F.row_number().over(w) - F.lit(1))
+            df = df.withColumn("_mono", F.monotonically_increasing_id())
+            order = ["_mono"]
+        df = zip_with_ordinal(df, order, out_col="_i")
         idx_col = "_i"
 
     i = F.col(idx_col).cast("string")

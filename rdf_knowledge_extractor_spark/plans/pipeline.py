@@ -74,9 +74,38 @@ class KgPipeline:
         self.results: list[StageResult] = []
 
     # -- checkpoint plumbing -------------------------------------------
+    def _config_hash(self) -> str:
+        """Content hash of the FULL config (questions, schema, rules…) —
+        editing extraction questions under the same config name must
+        invalidate checkpoints."""
+        import dataclasses
+
+        blob = json.dumps(dataclasses.asdict(self.config), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+    def _input_identity(self, pages: DataFrame) -> str:
+        """Cheap content fingerprint of the input: row count + xor/sum of
+        per-row xxhash64 over the identifying columns (one parallel agg
+        job; order-independent)."""
+        cols = [c for c in ("url", "doc_seq", "warc_ts") if c in pages.columns]
+        if not cols:
+            cols = pages.columns[:2]
+        row = pages.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*cols)).alias("h"),  # xor-fold: overflow-free
+        ).collect()[0]
+        return f"{row['n']}:{row['h']}"
+
     def _fingerprint(self, stage: str, params: dict) -> str:
         blob = json.dumps(
-            {"stage": stage, "config": self.config.name, **params}, sort_keys=True
+            {
+                "stage": stage,
+                "config": self.config.name,
+                "config_hash": self._config_hash(),
+                "input": getattr(self, "_input_id", None),
+                **params,
+            },
+            sort_keys=True,
         )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
@@ -130,6 +159,10 @@ class KgPipeline:
     # -- the pipeline ----------------------------------------------------
     def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
         n = self.partitions
+        # input identity folds into every stage fingerprint: re-running on
+        # different pages (or an edited config) recomputes instead of
+        # silently returning a stale checkpoint
+        self._input_id = self._input_identity(pages)
 
         s1 = self._run_stage(
             "s1_text",

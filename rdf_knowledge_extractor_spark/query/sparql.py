@@ -281,7 +281,16 @@ class SparqlEngine:
 
 
 def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
-    """Real engine with fallback to the faithful reference dispatcher."""
+    """Real engine with fallback to the faithful reference dispatcher.
+
+    The fallback only fires for reference-style LOOSE queries (bare
+    terms, no PREFIX declarations and no <IRI> tokens) — the shapes the
+    reference's substring dispatcher was written for
+    (ref:src/knowledge_graph/mod.rs:127-166).  A query that clearly
+    targets the real engine (prefixed or IRI triple patterns) must
+    propagate its parse error instead of silently degrading to a full
+    graph dump, which would feed templates wrong data as a "success".
+    """
     if not query.strip().lower().startswith(("select", "prefix")):
         raise SparqlError(
             "Only SELECT queries are supported in this simplified implementation"
@@ -289,4 +298,9 @@ def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
     try:
         return SparqlEngine(graph).execute(query)
     except SparqlError:
+        targets_real_engine = bool(
+            re.search(r"(?im)^\s*PREFIX\s", query) or re.search(r"<\s*https?:", query)
+        )
+        if targets_real_engine:
+            raise
         return execute_simple_sparql(graph, query)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import html as _html
 import json
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -293,10 +294,23 @@ def serialize_rdf_xml(df: DataFrame, namespace: str, prefix: str) -> str:
 # raw JSON (triple structs)
 # ---------------------------------------------------------------------------
 
+def _f32_repr(v: float) -> str:
+    """Shortest round-trip float32 representation.
+
+    The reference's confidence is an f32 serialized by serde_json/ryu,
+    which writes the shortest f32 form ('0.95'); a Python float widened
+    from float32 would print 0.949999988079071."""
+    import numpy as np
+
+    return np.format_float_positional(np.float32(v), unique=True, trim="0")
+
+
 def serialize_json(df: DataFrame) -> str:
     """Pretty JSON array of triple structs, field order/shape matching
     serde (ref:src/utils/serialization.rs:156-159; struct
-    ref:src/core/extractor.rs:13-26 — `source` skipped when null)."""
+    ref:src/core/extractor.rs:13-26 — `source` skipped when null).
+    Confidence is emitted in shortest-f32 form via token substitution
+    (json.dumps hardwires float.__repr__, which is f64)."""
     rows = [r.asDict() for r in _ordered_collect(df)]
     items = []
     for r in rows:
@@ -304,13 +318,14 @@ def serialize_json(df: DataFrame) -> str:
             "subject": r["subject"],
             "predicate": r["predicate"],
             "object": r["object"],
-            "confidence": r.get("confidence", 1.0),
+            "confidence": "@F32@" + _f32_repr(r.get("confidence", 1.0)) + "@",
         }
         if r.get("source") is not None:
             d["source"] = r["source"]
         d["metadata"] = dict(r["metadata"]) if r.get("metadata") else {}
         items.append(d)
-    return json.dumps(items, indent=2, ensure_ascii=False)
+    blob = json.dumps(items, indent=2, ensure_ascii=False)
+    return re.sub(r'"@F32@([^"@]+)@"', r"\1", blob)
 
 
 SERIALIZERS = {

@@ -5,8 +5,12 @@ array of triple structs (ref:src/knowledge_graph/mod.rs:47-66 load,
 :82-89 save).  Reader: `spark.read.json(multiLine=True)` with the
 explicit triple schema (spark-side schema inference would scan twice).
 The row order in the file is the store's insertion order — we
-materialize it as `doc_seq=0, triple_seq=<file position>` so
-first-occurrence semantics survive.
+materialize it as `doc_seq=-1, triple_seq=<file position>` so loaded
+store rows sort strictly BEFORE any new extraction batch (whose docs
+start at doc_seq=0).  The reference appends new triples after existing
+store content (Vec push, ref:src/knowledge_graph/mod.rs:91-114);
+without the -1 sentinel, a re-saved store would interleave old and new
+rows under orderBy(doc_seq, triple_seq) nondeterministically.
 """
 
 from __future__ import annotations
@@ -43,7 +47,7 @@ def read_kg_json(spark, path: str) -> DataFrame:
             float(t.get("confidence", 1.0)),
             t.get("source"),
             dict(t.get("metadata") or {}),
-            0,
+            -1,  # store rows precede any new batch (append-order parity)
             i,
         )
         for i, t in enumerate(items)

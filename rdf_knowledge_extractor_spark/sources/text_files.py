@@ -73,22 +73,31 @@ def read_text_files(spark, path_glob: str) -> DataFrame:
     )
 
 
-def read_pdf_files(spark, path_glob: str) -> DataFrame:  # pragma: no cover
-    """PDF source: real binaryFile scan; text extraction needs pypdf."""
-    try:
-        import pypdf  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "PDF extraction requires pypdf, absent in this container; the "
-            "binaryFile scan plumbing is in place — plug a pypdf pandas UDF "
-            "on a cluster image that has it"
-        ) from e
-    raise NotImplementedError("pypdf path intentionally unimplemented here")
+def read_pdf_files(spark, path_glob: str) -> DataFrame:
+    """PDF source: binaryFile scan + pandas-UDF text extraction
+    (pypdf when importable, built-in minimal extractor otherwise —
+    see functions/pdf_text.py; ref:src/handlers/mod.rs:14-41)."""
+    from rdf_knowledge_extractor_spark.functions.pdf_text import (
+        read_pdf_files as _read,
+    )
+
+    return _read(spark, path_glob)
+
+
+_DOC_SCHEMA = (
+    "source string, text string, metadata map<string,string>, error string"
+)
 
 
 def process_documents(spark, sources: list[str], pages_df: DataFrame | None = None) -> DataFrame:
     """Dispatch a mixed source list like the reference CLI: URLs come
-    from the pages table (html already crawled), files from disk."""
+    from the pages table (html already crawled), files from disk.
+
+    Inputs that cannot be processed are NOT silently dropped: they get
+    an error row (text NULL, `error` set), mirroring the reference's
+    per-document error recording (ExtractionResult.errors,
+    ref:src/core/extractor.rs:60-71 — a failed doc still appears in the
+    result with its error string)."""
     from rdf_knowledge_extractor_spark.functions.html_text import (
         html_metadata,
         html_to_text,
@@ -98,24 +107,55 @@ def process_documents(spark, sources: list[str], pages_df: DataFrame | None = No
     typed = src_df.withColumn("stype", source_type(F.col("source")))
     out = []
     urls = typed.filter(F.col("stype") == "url")
-    if pages_df is not None and not urls.isEmpty():
-        out.append(
-            urls.join(pages_df, urls["source"] == pages_df["url"], "inner").select(
-                F.col("source"),
-                html_to_text(F.col("html")).alias("text"),
-                html_metadata(F.col("html")).alias("metadata"),
+    if not urls.isEmpty():
+        if pages_df is not None:
+            matched = urls.join(
+                pages_df, urls["source"] == pages_df["url"], "left"
             )
-        )
+            out.append(
+                matched.select(
+                    F.col("source"),
+                    F.when(
+                        F.col("url").isNotNull(), html_to_text(F.col("html"))
+                    ).alias("text"),
+                    F.when(
+                        F.col("url").isNotNull(), html_metadata(F.col("html"))
+                    ).alias("metadata"),
+                    F.when(
+                        F.col("url").isNull(),
+                        F.concat(F.lit("URL not present in pages table: "), F.col("source")),
+                    ).alias("error"),
+                )
+            )
+        else:
+            out.append(
+                urls.select(
+                    "source",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("map<string,string>").alias("metadata"),
+                    F.concat(
+                        F.lit("URL source requires a pages table (no live fetch): "),
+                        F.col("source"),
+                    ).alias("error"),
+                )
+            )
     files = [r["source"] for r in typed.filter(F.col("stype") == "txt").collect()]
     for f in files:
         # binaryFile reports a file:/ URI; keep the caller's source string
         out.append(
-            read_text_files(spark, f).withColumn("source", F.lit(f))
+            read_text_files(spark, f)
+            .withColumn("source", F.lit(f))
+            .withColumn("error", F.lit(None).cast("string"))
+        )
+    pdfs = [r["source"] for r in typed.filter(F.col("stype") == "pdf").collect()]
+    for p in pdfs:
+        out.append(
+            read_pdf_files(spark, p)
+            .withColumn("source", F.lit(p))
+            .withColumn("error", F.lit(None).cast("string"))
         )
     if not out:
-        return spark.createDataFrame(
-            [], "source string, text string, metadata map<string,string>"
-        )
+        return spark.createDataFrame([], _DOC_SCHEMA)
     df = out[0]
     for o in out[1:]:
         df = df.unionByName(o)

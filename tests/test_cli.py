@@ -136,3 +136,168 @@ def test_generate_document_cli(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "- Acme Corp" in out.read_text()
+
+
+def test_validate_command(tmp_path, capsys):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(CONFIG_YAML)
+    rc = _run_cli(["validate", "-c", str(cfg)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # reference prints name/version/questions/namespace/model (main.rs:503-529)
+    assert "Configuration is valid!" in out
+    assert "Name: cli-test" in out
+    assert "Questions: 1" in out
+    assert "Namespace: http://business.example.org/ontology#" in out
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("name: x\nextraction_questions: []\nrdf_schema:\n  namespace: n\n  prefix: p\n  base_uri: b\n")
+    rc = _run_cli(["validate", "-c", str(bad)])
+    assert rc == 1
+
+
+def test_list_templates_command(tmp_path, capsys):
+    rc = _run_cli(["list-templates", "-t", str(tmp_path / "missing")])
+    assert rc == 0
+    assert "Template directory not found" in capsys.readouterr().out
+
+    rc = _run_cli(["generate-templates", "-o", str(tmp_path)])
+    assert rc == 0
+    capsys.readouterr()
+    rc = _run_cli(["list-templates", "-t", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # reference shape: count + name (id) + Type/Description/Queries lines
+    assert "Found 2 templates" in out
+    assert "Company Report (company_report)" in out
+    assert "Executive Summary (executive_summary)" in out
+    assert "Queries: 2" in out and "Queries: 1" in out
+
+
+def test_generate_templates_yaml_shape(tmp_path):
+    _run_cli(["generate-templates", "-o", str(tmp_path)])
+    rpt = yaml.safe_load((tmp_path / "company_report.yaml").read_text())
+    assert rpt["id"] == "company_report"
+    assert [q["id"] for q in rpt["data_queries"]] == ["companies", "people_roles"]
+    assert rpt["post_processing"]["enhance_with_llm"] is True
+    summ = yaml.safe_load((tmp_path / "executive_summary.yaml").read_text())
+    assert summ["post_processing"]["word_limit"] == 500
+
+
+def test_check_server_unreachable(capsys):
+    rc = _run_cli(["check-server", "--server-url", "http://127.0.0.1:59999"])
+    assert rc == 0  # reference returns Ok(()) on unhealthy
+    assert "Server is not responding" in capsys.readouterr().out
+
+
+def test_check_server_healthy_lists_models(capsys):
+    import http.server
+    import json as _json
+    import threading
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/health":
+                self.send_response(200); self.end_headers()
+            elif self.path == "/v1/models":
+                body = _json.dumps({"data": [{"id": "m1"}, {"id": "m2"}]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404); self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rc = _run_cli(["check-server", "--server-url", f"http://127.0.0.1:{srv.server_port}"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "Server is healthy" in out
+        assert "- m1" in out and "- m2" in out
+    finally:
+        srv.shutdown()
+
+
+def test_export_jsonld_and_rdfxml(spark, tmp_path, capsys):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(CONFIG_YAML)
+    doc = tmp_path / "doc.txt"
+    doc.write_text(DOC_TEXT)
+    kg = tmp_path / "kg.json"
+    _run_cli(["--master", "local[2]", "extract", str(doc), "--config", str(cfg), "--kg", str(kg)])
+    capsys.readouterr()
+
+    from rdf_knowledge_extractor_spark.sinks.serialization import (
+        serialize_jsonld,
+        serialize_rdf_xml,
+    )
+    from rdf_knowledge_extractor_spark.sources.kg_json import read_kg_json
+
+    ns, px = "http://business.example.org/ontology#", "biz"
+    jld = tmp_path / "g.jsonld"
+    rc = _run_cli(["--master", "local[2]", "export", "--kg", str(kg), "-o", str(jld),
+                   "--format", "json-ld", "--namespace", ns, "--prefix", px])
+    assert rc == 0
+    graph = read_kg_json(spark, str(kg))
+    assert jld.read_text() == serialize_jsonld(graph, ns, px)
+    doc_j = json.loads(jld.read_text())
+    assert "@context" in doc_j and "@graph" in doc_j
+
+    rx = tmp_path / "g.rdf"
+    rc = _run_cli(["--master", "local[2]", "export", "--kg", str(kg), "-o", str(rx),
+                   "--format", "rdf-xml", "--namespace", ns, "--prefix", px])
+    assert rc == 0
+    assert rx.read_text() == serialize_rdf_xml(graph, ns, px)
+    assert rx.read_text().startswith("<?xml")
+
+
+def test_extract_reports_unprocessable_inputs(spark, tmp_path, capsys):
+    """pdf-without-library and URL-without-pages inputs must produce
+    error lines, not vanish (ADVICE: ExtractionResult.errors parity)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(CONFIG_YAML)
+    doc = tmp_path / "doc.txt"
+    doc.write_text(DOC_TEXT)
+    kg = tmp_path / "kg.json"
+
+    rc = _run_cli([
+        "--master", "local[2]", "extract", str(doc), "https://nosuch.example/x",
+        "--config", str(cfg), "--kg", str(kg),
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "ERROR processing https://nosuch.example/x" in captured.err
+    # summary counts only actually-processed documents
+    assert "from 1 documents" in captured.out
+    assert "1 errors" in captured.out
+
+
+def test_demo_command(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    kg = tmp_path / "demo_kg.json"
+    out = tmp_path / "report.md"
+    nt = tmp_path / "demo.nt"
+    rc = _run_cli([
+        "--master", "local[2]", "demo",
+        "--kg", str(kg), "-o", str(out), "--nt-output", str(nt),
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "PHASE 1" in printed and "PHASE 2" in printed
+    assert "Knowledge graph saved with" in printed
+    assert out.exists() and nt.exists()
+    assert len(nt.read_text().splitlines()) > 0
+
+    # skip-extraction path reuses the saved KG
+    rc = _run_cli([
+        "--master", "local[2]", "demo", "--skip-extraction",
+        "--kg", str(kg), "-o", str(out), "--nt-output", str(nt),
+    ])
+    assert rc == 0
+    assert "Using existing knowledge graph" in capsys.readouterr().out

@@ -56,3 +56,80 @@ def test_pipeline_graph_is_canonicalized(spark, example_config, tmp_path):
         ent.groupBy("key").agg(F.countDistinct("uri").alias("n")).filter("n > 1")
     )
     assert dup_keys.count() == 0
+
+
+def test_zip_with_ordinal_matches_global_sort(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_knowledge_extractor_spark.operators.ordinal import zip_with_ordinal
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("doc_seq"), F.col("id").alias("triple_seq")
+    )
+    out = zip_with_ordinal(df, ["doc_seq", "triple_seq"], out_col="i")
+    rows = out.orderBy("i").collect()
+    expected = sorted(
+        [(r["doc_seq"], r["triple_seq"]) for r in rows],
+        key=lambda t: (t[0], t[1]),
+    )
+    assert [(r["doc_seq"], r["triple_seq"]) for r in rows] == expected
+    assert [r["i"] for r in rows] == list(range(1000))
+
+
+def test_validation_issues_plan_has_no_global_sort_exchange(spark):
+    """The diagnostic ordinal must not gather the table into one task:
+    no SinglePartition exchange in the physical plan (VERDICT fix #2)."""
+    from rdf_knowledge_extractor_spark.operators.validate import validation_issues
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+
+    df = spark.createDataFrame(
+        [(f"s{i}", "p", "o", 1.0, None, {}, i // 10, i % 10) for i in range(100)],
+        TRIPLE_SCHEMA,
+    )
+    issues = validation_issues(df)
+    plan = issues._jdf.queryExecution().executedPlan().toString()
+    # the final tiny orderBy("idx") on the issue rows is allowed to be a
+    # rangepartitioning sort; what must NOT appear is a single-partition
+    # window exchange feeding row_number over the whole input
+    assert "Exchange SinglePartition" not in plan
+    got = [r["issue"] for r in issues.collect()]
+    assert len(got) == 200  # invalid subject + invalid predicate per row
+    assert got[0] == "Triple 0: Invalid subject URI: s0"
+
+
+def test_pipeline_fingerprint_covers_input_and_config(spark, tmp_path):
+    """Rerunning on different pages or an edited config must NOT resume
+    from the stale checkpoint (ADVICE fix)."""
+    import copy
+
+    from rdf_knowledge_extractor_spark.config import Configuration
+    from rdf_knowledge_extractor_spark.plans.pipeline import KgPipeline
+
+    cfg = Configuration.example()
+    pages1 = spark.createDataFrame(
+        [("https://x/a", b"<html><body>Acme Corp is led by Jane Doe, who serves as CEO.</body></html>", 0)],
+        "url string, html binary, doc_seq long",
+    ).withColumn("lang", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("en"))
+    pipe = KgPipeline(spark, cfg, str(tmp_path / "ckpt"), partitions=2)
+    pipe.run(pages1)
+    assert all(not r.resumed for r in pipe.results)
+
+    # same input, same config → all stages resume
+    pipe2 = KgPipeline(spark, cfg, str(tmp_path / "ckpt"), partitions=2)
+    pipe2.run(pages1)
+    assert all(r.resumed for r in pipe2.results)
+
+    # different input under the same config name → recompute
+    pages2 = pages1.withColumn(
+        "url", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("https://x/b")
+    )
+    pipe3 = KgPipeline(spark, cfg, str(tmp_path / "ckpt"), partitions=2)
+    pipe3.run(pages2)
+    assert not any(r.resumed for r in pipe3.results)
+
+    # edited question under the same config name → recompute
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.extraction_questions[0].question = "What partnerships are mentioned?"
+    pipe4 = KgPipeline(spark, cfg2, str(tmp_path / "ckpt"), partitions=2)
+    pipe4.run(pages2)
+    assert not any(r.resumed for r in pipe4.results)

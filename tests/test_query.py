@@ -119,3 +119,34 @@ def test_fallback_on_unparsable(graph):
     # reference dispatcher (name pattern)
     out = execute_sparql(graph, "SELECT ?name WHERE { FILTER(?name) hasName }")
     assert out.columns == ["name", "entity"]
+
+
+def test_sparql_fallback_only_for_loose_queries(spark):
+    """A real-engine query (PREFIX/IRIs) with an unsupported feature
+    must raise, not silently dump the whole graph (ADVICE fix)."""
+    import pytest
+
+    from rdf_knowledge_extractor_spark.query.sparql import (
+        SparqlError,
+        execute_sparql,
+    )
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+
+    graph = spark.createDataFrame(
+        [("http://e/s", "http://e/hasName", "Acme", 1.0, None, {}, 0, 0)],
+        TRIPLE_SCHEMA,
+    )
+    # loose reference-style query → fallback dispatcher is fine
+    rows = execute_sparql(graph, "SELECT ?name WHERE { ?e hasName ?name }").collect()
+    assert rows[0]["name"] == "Acme"
+
+    # prefixed query using an unsupported feature → propagate the error
+    with pytest.raises(SparqlError):
+        execute_sparql(
+            graph,
+            "PREFIX biz: <http://e/>\n"
+            "SELECT ?s WHERE { ?s biz:hasName ?n . MINUS { ?s biz:x ?y } }",
+        )
+    # IRI-bearing query with a syntax error → propagate too
+    with pytest.raises(SparqlError):
+        execute_sparql(graph, "SELECT ?s WHERE { ?s <http://e/hasName ?n }")

@@ -194,3 +194,61 @@ def test_golden_jsonld_shape(spark):
     golden_nodes = {n["@id"]: n for n in golden["@graph"]}
     assert ours["@context"] == golden["@context"]
     assert ours_nodes == golden_nodes
+
+
+def test_serialize_json_shortest_f32_confidence(spark):
+    """serde/ryu writes f32 0.95 as '0.95'; a widened double would print
+    0.949999988079071 (ADVICE fix)."""
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+    from rdf_knowledge_extractor_spark.sinks.serialization import serialize_json
+
+    df = spark.createDataFrame(
+        [
+            ("http://e/s", "http://e/p", "o", 0.95, None, {}, 0, 0),
+            ("http://e/s2", "http://e/p", "o2", 1.0, "src", {}, 0, 1),
+        ],
+        TRIPLE_SCHEMA,
+    )
+    text = serialize_json(df)
+    assert '"confidence": 0.95' in text
+    assert '"confidence": 1.0' in text
+    assert "0.949999988079071" not in text
+    import json as _json
+
+    parsed = _json.loads(text)  # substitution must keep valid JSON
+    assert parsed[0]["confidence"] == 0.95
+
+
+def test_kg_store_rows_precede_new_batch(spark, tmp_path):
+    """Loaded store rows carry doc_seq=-1 so a save after an extract
+    appends new triples AFTER existing content (Vec-push order,
+    ref:src/knowledge_graph/mod.rs:91-114) instead of interleaving."""
+    import json as _json
+
+    from rdf_knowledge_extractor_spark.operators.dedup import insert_new_triples
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+    from rdf_knowledge_extractor_spark.sources.kg_json import (
+        read_kg_json,
+        write_kg_json,
+    )
+
+    store = tmp_path / "kg.json"
+    old = spark.createDataFrame(
+        [(f"http://e/old{i}", "http://e/p", f"o{i}", 1.0, None, {}, 0, i) for i in range(3)],
+        TRIPLE_SCHEMA,
+    )
+    write_kg_json(old, str(store))
+
+    loaded = read_kg_json(spark, str(store))
+    assert {r.doc_seq for r in loaded.collect()} == {-1}
+    new = spark.createDataFrame(
+        [(f"http://e/new{i}", "http://e/p", f"x{i}", 1.0, None, {}, 0, i) for i in range(2)],
+        TRIPLE_SCHEMA,
+    )
+    _, updated = insert_new_triples(loaded, new)
+    write_kg_json(updated, str(store))
+    subjects = [t["subject"] for t in _json.loads(store.read_text())]
+    assert subjects == [
+        "http://e/old0", "http://e/old1", "http://e/old2",
+        "http://e/new0", "http://e/new1",
+    ]

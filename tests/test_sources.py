@@ -72,3 +72,84 @@ def test_process_documents_mixed(spark, tmp_path):
     page_text = pages.filter(F.col("url") == url).first().text
     assert rows[url].text == page_text
     assert "title" in rows[url].metadata
+
+
+def test_pdf_extraction_roundtrip(spark, tmp_path):
+    """S1: binaryFile scan + built-in PDF text extraction (golden
+    fixture generated without any PDF library; ref:src/handlers/mod.rs:14-41)."""
+    from rdf_knowledge_extractor_spark.functions.pdf_text import (
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+    from rdf_knowledge_extractor_spark.sources.text_files import read_pdf_files
+
+    lines = ["Acme Corp quarterly report.", "Revenue rose 12% (unaudited)."]
+    data = make_simple_pdf(lines)
+    assert data.startswith(b"%PDF-1.4")
+    # local (driver-side) extraction
+    assert extract_pdf_text(data) == "\n".join(lines)
+
+    p = tmp_path / "report.pdf"
+    p.write_bytes(data)
+    out = read_pdf_files(spark, str(p)).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "\n".join(lines)
+    assert out[0]["metadata"]["type"] == "pdf"
+
+
+def test_pdf_escapes_and_tj_arrays():
+    from rdf_knowledge_extractor_spark.functions.pdf_text import (
+        extract_pdf_text,
+        make_simple_pdf,
+    )
+
+    # parens + backslash escapes survive the round trip
+    assert extract_pdf_text(make_simple_pdf([r"a(b)c\d"])) == r"a(b)c\d"
+    # hand-built uncompressed stream with a TJ array and hex string
+    raw = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 64 >>\nstream\n"
+        b"BT [(Hel) -20 (lo)] TJ <20776f726c64> Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(raw) == "Hello\n world"
+
+
+def test_pdf_not_a_pdf_raises():
+    import pytest
+
+    from rdf_knowledge_extractor_spark.functions.pdf_text import extract_pdf_text
+
+    with pytest.raises(ValueError, match="missing %PDF header"):
+        extract_pdf_text(b"hello world")
+
+
+def test_process_documents_pdf_and_unmatched_url(spark, tmp_path):
+    """pdf + missing-url inputs get real rows (error or text), never
+    silently dropped."""
+    from rdf_knowledge_extractor_spark.functions.pdf_text import make_simple_pdf
+
+    pdf = tmp_path / "doc.pdf"
+    pdf.write_bytes(make_simple_pdf(["Text inside a PDF."]))
+    pages = spark.createDataFrame(
+        [("https://known.example/a", b"<html><body>hi</body></html>")],
+        "url string, html binary",
+    )
+    out = process_documents(
+        spark,
+        [str(pdf), "https://known.example/a", "https://unknown.example/b"],
+        pages,
+    ).collect()
+    by_src = {r["source"]: r for r in out}
+    assert len(out) == 3
+    assert by_src[str(pdf)]["text"] == "Text inside a PDF."
+    assert by_src[str(pdf)]["error"] is None
+    assert by_src["https://known.example/a"]["text"] == "hi"
+    assert by_src["https://unknown.example/b"]["error"].startswith(
+        "URL not present in pages table"
+    )
+    assert by_src["https://unknown.example/b"]["text"] is None
+
+
+def test_process_documents_url_without_pages(spark):
+    out = process_documents(spark, ["https://x.example/a"], None).collect()
+    assert len(out) == 1
+    assert "requires a pages table" in out[0]["error"]
