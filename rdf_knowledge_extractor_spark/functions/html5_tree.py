@@ -1,0 +1,1495 @@
+"""WHATWG HTML5 tree constructor (text-extraction-grade).
+
+Consumes tokens from `html5_tokenizer.Tokenizer` and builds the same
+element/text tree html5ever builds for the reference extractor
+(ref:src/handlers/mod.rs:109-140 walks body descendant text nodes, and
+for bodyless documents every element), implementing the construction
+rules that determine WHERE text nodes land and HOW character runs are
+split:
+
+- all insertion modes incl. the table modes with **foster parenting**
+  (non-whitespace text inside ``<table>`` structure moves before the
+  table — reordering extracted text) and "in table text" buffering;
+- the **adoption agency algorithm** (misnested formatting elements —
+  ``<b>1<p>2</b>3`` reparents; changes per-element text in the
+  bodyless fallback path);
+- active formatting elements with Noah's-Ark clause + reconstruction;
+- implied end tags / auto-closing (p, li, dd/dt, h1-h6, options,
+  ruby);
+- head/body sectioning, ``<frameset>`` documents (no body element at
+  all → the reference's ``*`` fallback fires);
+- character-run splitting identical to html5ever: consecutive
+  characters append to the preceding text node unless an element or
+  comment intervenes.
+
+Scripting is treated as ENABLED (html5ever TreeBuilderOpts default, as
+scraper::Html::parse_document uses it): ``<noscript>`` bodies are raw
+text.
+
+Deviations (documented, exercised in tests/test_html_differential.py):
+- ``<template>`` contents are parsed as normal children of the
+  template element (scraper exposes them in ``.text()``; the separate
+  "in template" mode stack is approximated by in-body parsing);
+- foreign content (svg/math) parses as ordinary HTML elements — text
+  placement matches for the overwhelmingly common embedded-SVG shapes;
+- form-pointer bookkeeping is element-level only (no form-owner
+  association, which does not affect text).
+"""
+
+from __future__ import annotations
+
+from rdf_knowledge_extractor_spark.functions.html5_tokenizer import Tokenizer
+
+_WS = "\t\n\f \n"
+
+
+class Comment:
+    """Comment marker node — invisible to text extraction but breaks
+    text-run coalescing, like html5ever comment nodes."""
+
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent = None
+
+
+class Node:
+    """Element node; children are Node | Comment | str (text)."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict | None = None):
+        self.name = name
+        self.attrs = attrs or {}
+        self.children: list = []
+        self.parent: Node | None = None
+
+    # -- traversal (public API used by html_text) ----------------------
+    def descendant_texts(self) -> list[str]:
+        """All descendant text nodes in tree order (scraper `.text()`)."""
+        out: list[str] = []
+        stack = [iter(self.children)]
+        while stack:
+            it = stack[-1]
+            child = next(it, None)
+            if child is None:
+                stack.pop()
+                continue
+            if isinstance(child, str):
+                out.append(child)
+            elif isinstance(child, Node):
+                stack.append(iter(child.children))
+        return out
+
+    def iter_elements(self):
+        """All elements in tree order, self included (`*` selector).
+        Iterative — web pages nest arbitrarily deep."""
+        yield self
+        stack = [iter(self.children)]
+        while stack:
+            child = next(stack[-1], None)
+            if child is None:
+                stack.pop()
+                continue
+            if isinstance(child, Node):
+                yield child
+                stack.append(iter(child.children))
+
+    def find_all(self, name: str):
+        return [el for el in self.iter_elements() if el.name == name]
+
+    # -- mutation helpers ----------------------------------------------
+    def append(self, child):
+        if isinstance(child, (Node, Comment)):
+            child.parent = self
+        self.children.append(child)
+
+    def insert_at(self, index: int, child):
+        if isinstance(child, (Node, Comment)):
+            child.parent = self
+        self.children.insert(index, child)
+
+    def remove_child(self, child):
+        self.children.remove(child)
+        if isinstance(child, (Node, Comment)):
+            child.parent = None
+
+    def index_of(self, child) -> int:
+        for i, c in enumerate(self.children):
+            if c is child:
+                return i
+        raise ValueError("not a child")
+
+
+SPECIAL = frozenset(
+    """address applet area article aside base basefont bgsound blockquote
+    body br button caption center col colgroup dd details dir div dl dt
+    embed fieldset figcaption figure footer form frame frameset h1 h2 h3
+    h4 h5 h6 head header hgroup hr html iframe img input keygen li link
+    listing main marquee menu meta nav noembed noframes noscript object
+    ol p param plaintext pre script search section select source style
+    summary table tbody td template textarea tfoot th thead title tr
+    track ul wbr xmp""".split()
+)
+FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+VOID = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen link meta param source track wbr".split()
+)
+_IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+_SCOPE_BASE = frozenset("applet caption html table td th marquee object template".split())
+_LIST_SCOPE = _SCOPE_BASE | {"ol", "ul"}
+_BUTTON_SCOPE = _SCOPE_BASE | {"button"}
+_TABLE_SCOPE = frozenset(("html", "table", "template"))
+_BLOCK_CLOSE_P = frozenset(
+    """address article aside blockquote center details dialog dir div dl
+    fieldset figcaption figure footer header hgroup main menu nav ol p
+    search section summary ul""".split()
+)
+_HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+_BODY_END_BLOCKS = frozenset(
+    """address article aside blockquote button center details dialog dir
+    div dl fieldset figcaption figure footer header hgroup listing main
+    menu nav ol pre search section summary ul""".split()
+)
+_RAWTEXT_IN_BODY = frozenset(("xmp", "iframe", "noembed", "noscript"))
+_MARKER = object()  # active-formatting-elements marker
+
+
+class TreeBuilder:
+    def __init__(self):
+        self.document = Node("#document")
+        self.html: Node | None = None
+        self.head: Node | None = None
+        self.body_el: Node | None = None
+        self.form: Node | None = None
+        self.stack: list[Node] = []
+        self.afe: list = []  # Node or _MARKER
+        self.mode = "initial"
+        self.original_mode = "in_body"
+        self.frameset_ok = True
+        self.quirks = True  # no doctype → quirks
+        self.ignore_lf = False
+        self.foster = False
+        self.pending_table_text: list[str] = []
+        self.tok: Tokenizer | None = None
+        self.done = False
+
+    # ------------------------------------------------------------------ utils
+    @property
+    def current(self) -> Node:
+        return self.stack[-1]
+
+    def _in_scope(self, name, barriers=_SCOPE_BASE) -> bool:
+        names = (name,) if isinstance(name, str) else tuple(name)
+        for node in reversed(self.stack):
+            if node.name in names:
+                return True
+            if node.name in barriers:
+                return False
+        return False
+
+    def _in_select_scope(self, name: str) -> bool:
+        for node in reversed(self.stack):
+            if node.name == name:
+                return True
+            if node.name not in ("optgroup", "option"):
+                return False
+        return False
+
+    def _pop_until(self, names) -> None:
+        names = (names,) if isinstance(names, str) else tuple(names)
+        while self.stack:
+            node = self.stack.pop()
+            if node.name in names:
+                return
+
+    def _generate_implied(self, except_for: str | None = None) -> None:
+        while self.stack and self.current.name in _IMPLIED_END and self.current.name != except_for:
+            self.stack.pop()
+
+    def _close_p(self) -> None:
+        self._generate_implied(except_for="p")
+        self._pop_until("p")
+
+    def _insertion_location(self) -> tuple[Node, int | None]:
+        """(parent, index) — index None means append.  Applies foster
+        parenting when enabled and the target is table structure."""
+        target = self.current
+        if self.foster and target.name in ("table", "tbody", "tfoot", "thead", "tr"):
+            last_table = None
+            for node in reversed(self.stack):
+                if node.name == "table":
+                    last_table = node
+                    break
+                if node.name == "template":
+                    return (node, None)
+            if last_table is None:
+                return (self.stack[0], None)  # fragment-ish: html root
+            if last_table.parent is not None:
+                return (last_table.parent, last_table.parent.index_of(last_table))
+            # table not yet attached: insert into the element above it
+            idx = self.stack.index(last_table)
+            return (self.stack[idx - 1], None)
+        return (target, None)
+
+    def _insert_text(self, data: str) -> None:
+        if not data:
+            return
+        parent, index = self._insertion_location()
+        if index is None:
+            if parent.children and isinstance(parent.children[-1], str):
+                parent.children[-1] += data
+            else:
+                parent.append(data)
+        else:
+            if index > 0 and isinstance(parent.children[index - 1], str):
+                parent.children[index - 1] += data
+            else:
+                parent.insert_at(index, data)
+
+    def _insert_comment(self) -> None:
+        parent, index = self._insertion_location()
+        c = Comment()
+        if index is None:
+            parent.append(c)
+        else:
+            parent.insert_at(index, c)
+
+    def _insert_element(self, name: str, attrs: dict | None = None, push: bool = True) -> Node:
+        node = Node(name, attrs)
+        parent, index = self._insertion_location()
+        if index is None:
+            parent.append(node)
+        else:
+            parent.insert_at(index, node)
+        if push:
+            self.stack.append(node)
+        return node
+
+    # -- active formatting elements --------------------------------------
+    def _afe_push(self, node: Node) -> None:
+        # Noah's Ark: at most 3 identical (name, attrs) entries since
+        # the last marker
+        count = 0
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is _MARKER:
+                break
+            if e.name == node.name and e.attrs == node.attrs:
+                count += 1
+                if count == 3:
+                    self.afe.pop(i)
+                    break
+        self.afe.append(node)
+
+    def _afe_clear_to_marker(self) -> None:
+        while self.afe:
+            if self.afe.pop() is _MARKER:
+                return
+
+    def _reconstruct_afe(self) -> None:
+        if not self.afe:
+            return
+        last = self.afe[-1]
+        if last is _MARKER or last in self.stack:
+            return
+        i = len(self.afe) - 1
+        while i > 0:
+            i -= 1
+            e = self.afe[i]
+            if e is _MARKER or e in self.stack:
+                i += 1
+                break
+        while i < len(self.afe):
+            entry = self.afe[i]
+            new = self._insert_element(entry.name, dict(entry.attrs))
+            self.afe[i] = new
+            i += 1
+
+    # -- adoption agency (WHATWG §13.2.6.4.7 "in body" formatting end tags)
+    def _adoption_agency(self, name: str) -> None:
+        if self.stack and self.current.name == name and self.current not in self.afe:
+            self.stack.pop()
+            return
+        for _ in range(8):  # outer loop
+            fmt = None
+            for e in reversed(self.afe):
+                if e is _MARKER:
+                    break
+                if e.name == name:
+                    fmt = e
+                    break
+            if fmt is None:
+                self._any_other_end_tag(name)
+                return
+            if fmt not in self.stack:
+                self.afe.remove(fmt)
+                return
+            if not self._in_scope(name):
+                return
+            fmt_idx = self.stack.index(fmt)
+            furthest = None
+            for node in self.stack[fmt_idx + 1 :]:
+                if node.name in SPECIAL:
+                    furthest = node
+                    break
+            if furthest is None:
+                del self.stack[fmt_idx:]
+                self.afe.remove(fmt)
+                return
+            common = self.stack[fmt_idx - 1]
+            bookmark = self.afe.index(fmt)
+            # walk a SNAPSHOT of the stack so "the element that was
+            # immediately above node when it was removed" stays reachable
+            snapshot = list(self.stack)
+            idx = snapshot.index(furthest)
+            node = furthest
+            last = furthest
+            inner = 0
+            while True:  # inner loop (spec step 13)
+                inner += 1
+                idx -= 1
+                node = snapshot[idx]
+                if node is fmt:
+                    break
+                if inner > 3 and node in self.afe:
+                    self.afe.remove(node)
+                if node not in self.afe:
+                    if node in self.stack:
+                        self.stack.remove(node)
+                    continue
+                clone = Node(node.name, dict(node.attrs))
+                self.afe[self.afe.index(node)] = clone
+                self.stack[self.stack.index(node)] = clone
+                snapshot[idx] = clone
+                node = clone
+                if last is furthest:
+                    bookmark = self.afe.index(clone) + 1
+                if last.parent is not None:
+                    last.parent.remove_child(last)
+                node.append(last)
+                last = node
+            # step 14: place last under common ancestor (foster rules
+            # apply unconditionally when the ancestor is table structure)
+            if last.parent is not None:
+                last.parent.remove_child(last)
+            if common.name in ("table", "tbody", "tfoot", "thead", "tr"):
+                parent, index = self._fp_location_for(common)
+                if index is None:
+                    parent.append(last)
+                else:
+                    parent.insert_at(index, last)
+            else:
+                common.append(last)
+            # new fmt clone adopting furthest's children
+            clone = Node(fmt.name, dict(fmt.attrs))
+            for ch in list(furthest.children):
+                furthest.remove_child(ch)
+                clone.append(ch)
+            furthest.append(clone)
+            # replace fmt in afe at bookmark
+            old_bm_entry_idx = self.afe.index(fmt)
+            self.afe.remove(fmt)
+            if old_bm_entry_idx < bookmark:
+                bookmark -= 1
+            self.afe.insert(bookmark, clone)
+            # replace in stack: remove fmt, insert clone after furthest
+            self.stack.remove(fmt)
+            self.stack.insert(self.stack.index(furthest) + 1, clone)
+
+    def _fp_location_for(self, common: Node) -> tuple[Node, int | None]:
+        """Foster-parent location when the would-be parent is table
+        structure (used by the adoption agency step 14)."""
+        last_table = None
+        for node in reversed(self.stack):
+            if node.name == "table":
+                last_table = node
+                break
+            if node.name == "template":
+                return (node, None)
+        if last_table is None:
+            return (self.stack[0], None)
+        if last_table.parent is not None:
+            return (last_table.parent, last_table.parent.index_of(last_table))
+        idx = self.stack.index(last_table)
+        return (self.stack[idx - 1], None)
+
+    def _any_other_end_tag(self, name: str) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            if node.name == name:
+                self._generate_implied(except_for=name)
+                del self.stack[i:]
+                return
+            if node.name in SPECIAL:
+                return
+
+    # -- mode plumbing -----------------------------------------------------
+    def _reset_insertion_mode(self) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            node = self.stack[i]
+            last = i == 0
+            name = node.name
+            if name == "select":
+                mode = "in_select"
+                for anc in self.stack[:i][::-1]:
+                    if anc.name == "table":
+                        mode = "in_select_in_table"
+                        break
+                    if anc.name == "template":
+                        break
+                self.mode = mode
+                return
+            if name in ("td", "th") and not last:
+                self.mode = "in_cell"
+                return
+            if name == "tr":
+                self.mode = "in_row"
+                return
+            if name in ("tbody", "thead", "tfoot"):
+                self.mode = "in_table_body"
+                return
+            if name == "caption":
+                self.mode = "in_caption"
+                return
+            if name == "colgroup":
+                self.mode = "in_column_group"
+                return
+            if name == "table":
+                self.mode = "in_table"
+                return
+            if name == "template":
+                self.mode = "in_body"  # approximation of template modes
+                return
+            if name == "head" and not last:
+                self.mode = "in_head"
+                return
+            if name == "body":
+                self.mode = "in_body"
+                return
+            if name == "frameset":
+                self.mode = "in_frameset"
+                return
+            if name == "html":
+                self.mode = "before_head" if self.head is None else "after_head"
+                return
+            if last:
+                self.mode = "in_body"
+                return
+
+    def _generic_raw(self, name: str, attrs: dict, kind: str) -> None:
+        self._insert_element(name, attrs)
+        self.tok.set_content_mode(kind, name if name != "noscript" else "noscript")
+        self.original_mode = self.mode
+        self.mode = "text"
+
+    # ------------------------------------------------------------------ parse
+    def parse(self, source: str) -> Node:
+        self.tok = Tokenizer(source)
+        for token in self.tok.tokens():
+            self._process(token)
+            if self.done:
+                break
+        # flush: nothing needed (text inserted eagerly)
+        if self.html is None:
+            self.html = Node("html")
+            self.document.append(self.html)
+        return self.html
+
+    def _process(self, token: tuple) -> None:
+        # re-dispatch loop (reprocessing emulated via explicit recursion)
+        try:
+            handler = self._handlers[self.mode]
+        except AttributeError:
+            self._handlers = {
+                m[3:]: getattr(self, m) for m in dir(self) if m.startswith("_m_")
+            }
+            handler = self._handlers[self.mode]
+        handler(token)
+
+    # ------------------------------------------------------- insertion modes
+    def _m_initial(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1].lstrip(_WS)
+            if not data:
+                return
+            self.quirks = True
+            self.mode = "before_html"
+            self._process(("text", data))
+            return
+        if k == "comment":
+            return
+        if k == "doctype":
+            self.quirks = t[1]
+            self.mode = "before_html"
+            return
+        self.quirks = True
+        self.mode = "before_html"
+        self._process(t)
+
+    def _m_before_html(self, t):
+        k = t[0]
+        if k == "doctype" or k == "comment":
+            return
+        if k == "text":
+            data = t[1].lstrip(_WS)
+            if not data:
+                return
+            t = ("text", data)
+        if k == "start" and t[1] == "html":
+            self.html = Node("html", t[2])
+            self.document.append(self.html)
+            self.stack.append(self.html)
+            self.mode = "before_head"
+            return
+        if k == "end" and t[1] not in ("head", "body", "html", "br"):
+            return  # ignore
+        self.html = Node("html")
+        self.document.append(self.html)
+        self.stack.append(self.html)
+        self.mode = "before_head"
+        self._process(t)
+
+    def _m_before_head(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1].lstrip(_WS)
+            if not data:
+                return
+            t = ("text", data)
+        if k in ("comment", "doctype"):
+            return
+        if k == "start" and t[1] == "html":
+            return self._m_in_body(t)
+        if k == "start" and t[1] == "head":
+            self.head = self._insert_element("head", t[2])
+            self.mode = "in_head"
+            return
+        if k == "end" and t[1] not in ("head", "body", "html", "br"):
+            return
+        self.head = self._insert_element("head")
+        self.mode = "in_head"
+        self._process(t)
+
+    def _m_in_head(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1]
+            i = 0
+            while i < len(data) and data[i] in _WS:
+                i += 1
+            if i:
+                self._insert_text(data[:i])
+            if i == len(data):
+                return
+            t = ("text", data[i:])
+        elif k == "comment":
+            self._insert_comment()
+            return
+        elif k == "doctype":
+            return
+        elif k == "start":
+            name, attrs = t[1], t[2]
+            if name == "html":
+                return self._m_in_body(t)
+            if name in ("base", "basefont", "bgsound", "link", "meta"):
+                self._insert_element(name, attrs, push=False)
+                return
+            if name == "title":
+                return self._generic_raw(name, attrs, "rcdata")
+            if name in ("noscript", "noframes", "style"):
+                # scripting enabled → noscript is rawtext
+                return self._generic_raw(name, attrs, "rawtext")
+            if name == "script":
+                self._insert_element(name, attrs)
+                self.tok.set_content_mode("script", "script")
+                self.original_mode = self.mode
+                self.mode = "text"
+                return
+            if name == "template":
+                self._insert_element(name, attrs)
+                self.afe.append(_MARKER)
+                self.frameset_ok = False
+                self.mode = "in_body"  # approximation of "in template"
+                return
+            if name == "head":
+                return
+        elif k == "end":
+            name = t[1]
+            if name == "head":
+                self.stack.pop()
+                self.mode = "after_head"
+                return
+            if name == "template":
+                if any(n.name == "template" for n in self.stack):
+                    self._generate_implied()
+                    self._pop_until("template")
+                    self._afe_clear_to_marker()
+                    self._reset_insertion_mode()
+                return
+            if name not in ("body", "html", "br"):
+                return
+        # anything else: pop head, after_head, reprocess
+        self.stack.pop()
+        self.mode = "after_head"
+        self._process(t)
+
+    def _m_after_head(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1]
+            i = 0
+            while i < len(data) and data[i] in _WS:
+                i += 1
+            if i:
+                self._insert_text(data[:i])
+            if i == len(data):
+                return
+            t = ("text", data[i:])
+        elif k == "comment":
+            self._insert_comment()
+            return
+        elif k == "doctype":
+            return
+        elif k == "start":
+            name, attrs = t[1], t[2]
+            if name == "html":
+                return self._m_in_body(t)
+            if name == "body":
+                self.body_el = self._insert_element("body", attrs)
+                self.frameset_ok = False
+                self.mode = "in_body"
+                return
+            if name == "frameset":
+                self._insert_element(name, attrs)
+                self.mode = "in_frameset"
+                return
+            if name in (
+                "base", "basefont", "bgsound", "link", "meta",
+                "noframes", "script", "style", "template", "title",
+            ):
+                # re-push head, run in_head rule, remove head
+                self.stack.append(self.head)
+                self._m_in_head(t)
+                if self.stack and self.stack[-1] is self.head:
+                    self.stack.pop()
+                elif self.head in self.stack:
+                    self.stack.remove(self.head)
+                return
+            if name == "head":
+                return
+        elif k == "end":
+            if t[1] == "template":
+                return self._m_in_head(t)
+            if t[1] not in ("body", "html", "br"):
+                return
+        self.body_el = self._insert_element("body")
+        self.mode = "in_body"
+        self._process(t)
+
+    # ---------------------------------------------------------------- in body
+    def _m_in_body(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1].replace("\x00", "")
+            if self.ignore_lf:
+                self.ignore_lf = False
+                if data.startswith("\n"):
+                    data = data[1:]
+            if not data:
+                return
+            self._reconstruct_afe()
+            self._insert_text(data)
+            if data.strip(_WS):
+                self.frameset_ok = False
+            return
+        self.ignore_lf = False
+        if k == "comment":
+            self._insert_comment()
+            return
+        if k == "doctype":
+            return
+        if k == "eof":
+            self.done = True
+            return
+        if k == "start":
+            return self._in_body_start(t[1], t[2], t[3])
+        return self._in_body_end(t[1])
+
+    def _in_body_start(self, name: str, attrs: dict, selfclosing: bool):
+        if name == "html":
+            target = self.stack[0] if self.stack else None
+            if target is not None:
+                for a, v in attrs.items():
+                    target.attrs.setdefault(a, v)
+            return
+        if name in (
+            "base", "basefont", "bgsound", "link", "meta",
+            "noframes", "script", "style", "template", "title",
+        ):
+            return self._m_in_head(("start", name, attrs, selfclosing))
+        if name == "body":
+            if self.body_el is not None:
+                for a, v in attrs.items():
+                    self.body_el.attrs.setdefault(a, v)
+                self.frameset_ok = False
+            return
+        if name == "frameset":
+            if not self.frameset_ok or self.body_el is None:
+                return
+            # remove body, insert frameset
+            if self.body_el.parent is not None:
+                self.body_el.parent.remove_child(self.body_el)
+            while len(self.stack) > 1:
+                self.stack.pop()
+            self.body_el = None
+            self._insert_element("frameset", attrs)
+            self.mode = "in_frameset"
+            return
+        if name in _BLOCK_CLOSE_P:
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs)
+            return
+        if name in _HEADINGS:
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            if self.current.name in _HEADINGS:
+                self.stack.pop()
+            self._insert_element(name, attrs)
+            return
+        if name in ("pre", "listing"):
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs)
+            self.ignore_lf = True
+            self.frameset_ok = False
+            return
+        if name == "form":
+            if self.form is not None:
+                return
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self.form = self._insert_element(name, attrs)
+            return
+        if name == "li":
+            self.frameset_ok = False
+            for node in reversed(self.stack):
+                if node.name == "li":
+                    self._generate_implied(except_for="li")
+                    self._pop_until("li")
+                    break
+                if node.name in SPECIAL and node.name not in ("address", "div", "p"):
+                    break
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs)
+            return
+        if name in ("dd", "dt"):
+            self.frameset_ok = False
+            for node in reversed(self.stack):
+                if node.name in ("dd", "dt"):
+                    self._generate_implied(except_for=node.name)
+                    self._pop_until(node.name)
+                    break
+                if node.name in SPECIAL and node.name not in ("address", "div", "p"):
+                    break
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs)
+            return
+        if name == "plaintext":
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs)
+            self.tok.set_content_mode("plaintext")
+            return
+        if name == "button":
+            if self._in_scope("button"):
+                self._generate_implied()
+                self._pop_until("button")
+            self._reconstruct_afe()
+            self._insert_element(name, attrs)
+            self.frameset_ok = False
+            return
+        if name == "a":
+            for e in reversed(self.afe):
+                if e is _MARKER:
+                    break
+                if e.name == "a":
+                    self._adoption_agency("a")
+                    if e in self.afe:
+                        self.afe.remove(e)
+                    if e in self.stack:
+                        self.stack.remove(e)
+                    break
+            self._reconstruct_afe()
+            node = self._insert_element(name, attrs)
+            self._afe_push(node)
+            return
+        if name in FORMATTING - {"a", "nobr"}:
+            self._reconstruct_afe()
+            node = self._insert_element(name, attrs)
+            self._afe_push(node)
+            return
+        if name == "nobr":
+            self._reconstruct_afe()
+            if self._in_scope("nobr"):
+                self._adoption_agency("nobr")
+                self._reconstruct_afe()
+            node = self._insert_element(name, attrs)
+            self._afe_push(node)
+            return
+        if name in ("applet", "marquee", "object"):
+            self._reconstruct_afe()
+            self._insert_element(name, attrs)
+            self.afe.append(_MARKER)
+            self.frameset_ok = False
+            return
+        if name == "table":
+            if not self.quirks and self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs)
+            self.frameset_ok = False
+            self.mode = "in_table"
+            return
+        if name in ("area", "br", "embed", "img", "keygen", "wbr"):
+            self._reconstruct_afe()
+            self._insert_element(name, attrs, push=False)
+            self.frameset_ok = False
+            return
+        if name == "image":
+            return self._in_body_start("img", attrs, selfclosing)
+        if name == "input":
+            self._reconstruct_afe()
+            self._insert_element(name, attrs, push=False)
+            if attrs.get("type", "").lower() != "hidden":
+                self.frameset_ok = False
+            return
+        if name in ("param", "source", "track"):
+            self._insert_element(name, attrs, push=False)
+            return
+        if name == "hr":
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._insert_element(name, attrs, push=False)
+            self.frameset_ok = False
+            return
+        if name == "textarea":
+            self._insert_element(name, attrs)
+            self.ignore_lf = True
+            self.frameset_ok = False
+            self.tok.set_content_mode("rcdata", "textarea")
+            self.original_mode = self.mode
+            self.mode = "text"
+            return
+        if name == "xmp":
+            if self._in_scope("p", _BUTTON_SCOPE):
+                self._close_p()
+            self._reconstruct_afe()
+            self.frameset_ok = False
+            return self._generic_raw(name, attrs, "rawtext")
+        if name == "iframe":
+            self.frameset_ok = False
+            return self._generic_raw(name, attrs, "rawtext")
+        if name in ("noembed", "noscript"):  # scripting enabled
+            return self._generic_raw(name, attrs, "rawtext")
+        if name == "select":
+            self._reconstruct_afe()
+            self._insert_element(name, attrs)
+            self.frameset_ok = False
+            if self.mode in (
+                "in_table", "in_caption", "in_table_body", "in_row", "in_cell",
+            ):
+                self.mode = "in_select_in_table"
+            else:
+                self.mode = "in_select"
+            return
+        if name in ("optgroup", "option"):
+            if self.current.name == "option":
+                self.stack.pop()
+            self._reconstruct_afe()
+            self._insert_element(name, attrs)
+            return
+        if name in ("rb", "rtc"):
+            if self._in_scope("ruby"):
+                self._generate_implied()
+            self._insert_element(name, attrs)
+            return
+        if name in ("rp", "rt"):
+            if self._in_scope("ruby"):
+                self._generate_implied(except_for="rtc")
+            self._insert_element(name, attrs)
+            return
+        if name in ("math", "svg"):
+            # foreign content approximated as ordinary elements; honor
+            # the self-closing flag (real in foreign content)
+            self._reconstruct_afe()
+            self._insert_element(name, attrs, push=not selfclosing)
+            return
+        if name in (
+            "caption", "col", "colgroup", "frame", "head",
+            "tbody", "td", "tfoot", "th", "thead", "tr",
+        ):
+            return  # parse error, ignore
+        # any other start tag
+        self._reconstruct_afe()
+        self._insert_element(name, attrs)
+
+    def _in_body_end(self, name: str):
+        if name == "template":
+            return self._m_in_head(("end", name))
+        if name == "body":
+            if self._in_scope("body"):
+                self.mode = "after_body"
+            return
+        if name == "html":
+            if self._in_scope("body"):
+                self.mode = "after_body"
+                self._process(("end", "html"))
+            return
+        if name in _BODY_END_BLOCKS:
+            if not self._in_scope(name):
+                return
+            self._generate_implied()
+            self._pop_until(name)
+            return
+        if name == "form":
+            node, self.form = self.form, None
+            if node is None or not self._in_scope(node.name):
+                return
+            self._generate_implied()
+            if node in self.stack:
+                self.stack.remove(node)
+            return
+        if name == "p":
+            if not self._in_scope("p", _BUTTON_SCOPE):
+                self._insert_element("p", {})  # implicit <p> then close it
+            self._close_p()
+            return
+        if name == "li":
+            if not self._in_scope("li", _LIST_SCOPE):
+                return
+            self._generate_implied(except_for="li")
+            self._pop_until("li")
+            return
+        if name in ("dd", "dt"):
+            if not self._in_scope(name):
+                return
+            self._generate_implied(except_for=name)
+            self._pop_until(name)
+            return
+        if name in _HEADINGS:
+            if not self._in_scope(_HEADINGS):
+                return
+            self._generate_implied()
+            self._pop_until(_HEADINGS)
+            return
+        if name in FORMATTING:
+            return self._adoption_agency(name)
+        if name in ("applet", "marquee", "object"):
+            if not self._in_scope(name):
+                return
+            self._generate_implied()
+            self._pop_until(name)
+            self._afe_clear_to_marker()
+            return
+        if name == "br":
+            return self._in_body_start("br", {}, False)
+        self._any_other_end_tag(name)
+
+    # ------------------------------------------------------------------- text
+    def _m_text(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1]
+            if self.ignore_lf:  # first LF after <pre>/<listing>/<textarea>
+                self.ignore_lf = False
+                if data.startswith("\n"):
+                    data = data[1:]
+            self._insert_text(data)
+            return
+        self.ignore_lf = False
+        if k == "eof":
+            self.stack.pop()
+            self.mode = self.original_mode
+            self._process(t)
+            return
+        # end tag (the only other token the tokenizer emits here)
+        self.stack.pop()
+        self.mode = self.original_mode
+
+    # ------------------------------------------------------------ table modes
+    def _m_in_table(self, t):
+        k = t[0]
+        if k == "text" and self.current.name in ("table", "tbody", "tfoot", "thead", "tr"):
+            self.pending_table_text = []
+            self.original_mode = self.mode
+            self.mode = "in_table_text"
+            return self._m_in_table_text(t)
+        if k == "comment":
+            self._insert_comment()
+            return
+        if k == "doctype":
+            return
+        if k == "start":
+            name, attrs = t[1], t[2]
+            if name == "caption":
+                self._clear_to_table_context()
+                self.afe.append(_MARKER)
+                self._insert_element(name, attrs)
+                self.mode = "in_caption"
+                return
+            if name == "colgroup":
+                self._clear_to_table_context()
+                self._insert_element(name, attrs)
+                self.mode = "in_column_group"
+                return
+            if name == "col":
+                self._clear_to_table_context()
+                self._insert_element("colgroup", {})
+                self.mode = "in_column_group"
+                return self._m_in_column_group(t)
+            if name in ("tbody", "tfoot", "thead"):
+                self._clear_to_table_context()
+                self._insert_element(name, attrs)
+                self.mode = "in_table_body"
+                return
+            if name in ("td", "th", "tr"):
+                self._clear_to_table_context()
+                self._insert_element("tbody", {})
+                self.mode = "in_table_body"
+                return self._m_in_table_body(t)
+            if name == "table":
+                if self._in_scope("table", _TABLE_SCOPE):
+                    self._pop_until("table")
+                    self._reset_insertion_mode()
+                    self._process(t)
+                return
+            if name in ("style", "script", "template"):
+                return self._m_in_head(t)
+            if name == "input" and attrs.get("type", "").lower() == "hidden":
+                self._insert_element(name, attrs, push=False)
+                return
+            if name == "form":
+                if self.form is None:
+                    self.form = self._insert_element(name, attrs, push=False)
+                return
+        if k == "end":
+            name = t[1]
+            if name == "table":
+                if self._in_scope("table", _TABLE_SCOPE):
+                    self._pop_until("table")
+                    self._reset_insertion_mode()
+                return
+            if name in (
+                "body", "caption", "col", "colgroup", "html",
+                "tbody", "td", "tfoot", "th", "thead", "tr",
+            ):
+                return
+            if name == "template":
+                return self._m_in_head(t)
+        if k == "eof":
+            return self._m_in_body(t)
+        # anything else: foster parenting + in-body rules
+        self.foster = True
+        self._m_in_body(t)
+        self.foster = False
+
+    def _clear_to_table_context(self):
+        while self.current.name not in ("table", "template", "html"):
+            self.stack.pop()
+
+    def _m_in_table_text(self, t):
+        if t[0] == "text":
+            self.pending_table_text.append(t[1].replace("\x00", ""))
+            return
+        pending = "".join(self.pending_table_text)
+        self.pending_table_text = []
+        if pending:
+            if pending.strip(_WS):
+                # non-whitespace: each run goes through in-body "anything
+                # else" with foster parenting
+                self.foster = True
+                self._reconstruct_afe()
+                self._insert_text(pending)
+                self.frameset_ok = False
+                self.foster = False
+            else:
+                self._insert_text(pending)
+        self.mode = self.original_mode
+        self._process(t)
+
+    def _m_in_caption(self, t):
+        k = t[0]
+        if k == "end" and t[1] == "caption":
+            if self._in_scope("caption", _TABLE_SCOPE):
+                self._generate_implied()
+                self._pop_until("caption")
+                self._afe_clear_to_marker()
+                self.mode = "in_table"
+            return
+        if (k == "start" and t[1] in (
+            "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr",
+        )) or (k == "end" and t[1] == "table"):
+            if self._in_scope("caption", _TABLE_SCOPE):
+                self._generate_implied()
+                self._pop_until("caption")
+                self._afe_clear_to_marker()
+                self.mode = "in_table"
+                self._process(t)
+            return
+        if k == "end" and t[1] in (
+            "body", "col", "colgroup", "html", "tbody", "td", "tfoot", "th", "thead", "tr",
+        ):
+            return
+        return self._m_in_body(t)
+
+    def _m_in_column_group(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1]
+            i = 0
+            while i < len(data) and data[i] in _WS:
+                i += 1
+            if i:
+                self._insert_text(data[:i])
+            if i == len(data):
+                return
+            t = ("text", data[i:])
+        elif k == "comment" or k == "doctype":
+            if k == "comment":
+                self._insert_comment()
+            return
+        elif k == "start":
+            name = t[1]
+            if name == "html":
+                return self._m_in_body(t)
+            if name == "col":
+                self._insert_element("col", t[2], push=False)
+                return
+            if name == "template":
+                return self._m_in_head(t)
+        elif k == "end":
+            if t[1] == "colgroup":
+                if self.current.name == "colgroup":
+                    self.stack.pop()
+                    self.mode = "in_table"
+                return
+            if t[1] == "col":
+                return
+            if t[1] == "template":
+                return self._m_in_head(t)
+        elif k == "eof":
+            return self._m_in_body(t)
+        if self.current.name == "colgroup":
+            self.stack.pop()
+            self.mode = "in_table"
+            self._process(t)
+
+    def _m_in_table_body(self, t):
+        k = t[0]
+        if k == "start":
+            name, attrs = t[1], t[2]
+            if name == "tr":
+                self._clear_to_table_body_context()
+                self._insert_element(name, attrs)
+                self.mode = "in_row"
+                return
+            if name in ("td", "th"):
+                self._clear_to_table_body_context()
+                self._insert_element("tr", {})
+                self.mode = "in_row"
+                return self._m_in_row(t)
+            if name in ("caption", "col", "colgroup", "tbody", "tfoot", "thead"):
+                if self._in_scope(("tbody", "thead", "tfoot"), _TABLE_SCOPE):
+                    self._clear_to_table_body_context()
+                    self.stack.pop()
+                    self.mode = "in_table"
+                    self._process(t)
+                return
+        if k == "end":
+            name = t[1]
+            if name in ("tbody", "tfoot", "thead"):
+                if self._in_scope(name, _TABLE_SCOPE):
+                    self._clear_to_table_body_context()
+                    self.stack.pop()
+                    self.mode = "in_table"
+                return
+            if name == "table":
+                if self._in_scope(("tbody", "thead", "tfoot"), _TABLE_SCOPE):
+                    self._clear_to_table_body_context()
+                    self.stack.pop()
+                    self.mode = "in_table"
+                    self._process(t)
+                return
+            if name in (
+                "body", "caption", "col", "colgroup", "html", "td", "th", "tr",
+            ):
+                return
+        return self._m_in_table(t)
+
+    def _clear_to_table_body_context(self):
+        while self.current.name not in ("tbody", "tfoot", "thead", "template", "html"):
+            self.stack.pop()
+
+    def _m_in_row(self, t):
+        k = t[0]
+        if k == "start" and t[1] in ("td", "th"):
+            self._clear_to_row_context()
+            self._insert_element(t[1], t[2])
+            self.mode = "in_cell"
+            self.afe.append(_MARKER)
+            return
+        if k == "end" and t[1] == "tr":
+            if self._in_scope("tr", _TABLE_SCOPE):
+                self._clear_to_row_context()
+                self.stack.pop()
+                self.mode = "in_table_body"
+            return
+        if (k == "start" and t[1] in (
+            "caption", "col", "colgroup", "tbody", "tfoot", "thead", "tr",
+        )) or (k == "end" and t[1] == "table"):
+            if self._in_scope("tr", _TABLE_SCOPE):
+                self._clear_to_row_context()
+                self.stack.pop()
+                self.mode = "in_table_body"
+                self._process(t)
+            return
+        if k == "end" and t[1] in ("tbody", "tfoot", "thead"):
+            if self._in_scope(t[1], _TABLE_SCOPE) and self._in_scope("tr", _TABLE_SCOPE):
+                self._clear_to_row_context()
+                self.stack.pop()
+                self.mode = "in_table_body"
+                self._process(t)
+            return
+        if k == "end" and t[1] in ("body", "caption", "col", "colgroup", "html", "td", "th"):
+            return
+        return self._m_in_table(t)
+
+    def _clear_to_row_context(self):
+        while self.current.name not in ("tr", "template", "html"):
+            self.stack.pop()
+
+    def _m_in_cell(self, t):
+        k = t[0]
+        if k == "end" and t[1] in ("td", "th"):
+            if self._in_scope(t[1], _TABLE_SCOPE):
+                self._generate_implied()
+                self._pop_until(t[1])
+                self._afe_clear_to_marker()
+                self.mode = "in_row"
+            return
+        if k == "start" and t[1] in (
+            "caption", "col", "colgroup", "tbody", "td", "tfoot", "th", "thead", "tr",
+        ):
+            if self._in_scope(("td", "th"), _TABLE_SCOPE):
+                self._close_cell()
+                self._process(t)
+            return
+        if k == "end" and t[1] in ("body", "caption", "col", "colgroup", "html"):
+            return
+        if k == "end" and t[1] in ("table", "tbody", "tfoot", "thead", "tr"):
+            if self._in_scope(t[1], _TABLE_SCOPE):
+                self._close_cell()
+                self._process(t)
+            return
+        return self._m_in_body(t)
+
+    def _close_cell(self):
+        self._generate_implied()
+        self._pop_until(("td", "th"))
+        self._afe_clear_to_marker()
+        self.mode = "in_row"
+
+    # ------------------------------------------------------------------ select
+    def _m_in_select(self, t):
+        k = t[0]
+        if k == "text":
+            data = t[1].replace("\x00", "")
+            if data:
+                self._insert_text(data)
+            return
+        if k == "comment":
+            self._insert_comment()
+            return
+        if k == "doctype":
+            return
+        if k == "start":
+            name, attrs = t[1], t[2]
+            if name == "html":
+                return self._m_in_body(t)
+            if name == "option":
+                if self.current.name == "option":
+                    self.stack.pop()
+                self._insert_element(name, attrs)
+                return
+            if name == "optgroup":
+                if self.current.name == "option":
+                    self.stack.pop()
+                if self.current.name == "optgroup":
+                    self.stack.pop()
+                self._insert_element(name, attrs)
+                return
+            if name == "select":
+                if self._in_select_scope("select"):
+                    self._pop_until("select")
+                    self._reset_insertion_mode()
+                return
+            if name in ("input", "keygen", "textarea"):
+                if self._in_select_scope("select"):
+                    self._pop_until("select")
+                    self._reset_insertion_mode()
+                    self._process(t)
+                return
+            if name in ("script", "template"):
+                return self._m_in_head(t)
+        if k == "end":
+            name = t[1]
+            if name == "optgroup":
+                if (
+                    self.current.name == "option"
+                    and len(self.stack) > 1
+                    and self.stack[-2].name == "optgroup"
+                ):
+                    self.stack.pop()
+                if self.current.name == "optgroup":
+                    self.stack.pop()
+                return
+            if name == "option":
+                if self.current.name == "option":
+                    self.stack.pop()
+                return
+            if name == "select":
+                if self._in_select_scope("select"):
+                    self._pop_until("select")
+                    self._reset_insertion_mode()
+                return
+            if name == "template":
+                return self._m_in_head(t)
+        if k == "eof":
+            return self._m_in_body(t)
+        return  # anything else ignored
+
+    def _m_in_select_in_table(self, t):
+        k = t[0]
+        names = ("caption", "table", "tbody", "tfoot", "thead", "tr", "td", "th")
+        if k == "start" and t[1] in names:
+            self._pop_until("select")
+            self._reset_insertion_mode()
+            self._process(t)
+            return
+        if k == "end" and t[1] in names:
+            if self._in_scope(t[1], _TABLE_SCOPE):
+                self._pop_until("select")
+                self._reset_insertion_mode()
+                self._process(t)
+            return
+        return self._m_in_select(t)
+
+    # ------------------------------------------------------------- after body
+    def _m_after_body(self, t):
+        k = t[0]
+        if k == "text" and not t[1].strip(_WS):
+            return self._m_in_body(t)
+        if k == "comment":
+            # attached to <html>; splits runs only at html level
+            self.html.append(Comment())
+            return
+        if k == "doctype":
+            return
+        if k == "start" and t[1] == "html":
+            return self._m_in_body(t)
+        if k == "end" and t[1] == "html":
+            self.mode = "after_after_body"
+            return
+        if k == "eof":
+            self.done = True
+            return
+        self.mode = "in_body"
+        self._process(t)
+
+    def _m_after_after_body(self, t):
+        k = t[0]
+        if k == "comment" or k == "doctype":
+            return
+        if k == "text" and not t[1].strip(_WS):
+            return self._m_in_body(t)
+        if k == "start" and t[1] == "html":
+            return self._m_in_body(t)
+        if k == "eof":
+            self.done = True
+            return
+        self.mode = "in_body"
+        self._process(t)
+
+    # -------------------------------------------------------------- frameset
+    def _m_in_frameset(self, t):
+        k = t[0]
+        if k == "text":
+            ws = "".join(c for c in t[1] if c in _WS)
+            if ws:
+                self._insert_text(ws)
+            return
+        if k == "comment":
+            self._insert_comment()
+            return
+        if k == "start":
+            name, attrs = t[1], t[2]
+            if name == "html":
+                return self._m_in_body(t)
+            if name == "frameset":
+                self._insert_element(name, attrs)
+                return
+            if name == "frame":
+                self._insert_element(name, attrs, push=False)
+                return
+            if name == "noframes":
+                return self._m_in_head(t)
+            return
+        if k == "end" and t[1] == "frameset":
+            if self.current.name != "html":
+                self.stack.pop()
+            if self.current.name != "frameset":
+                self.mode = "after_frameset"
+            return
+        if k == "eof":
+            self.done = True
+        return
+
+    def _m_after_frameset(self, t):
+        k = t[0]
+        if k == "text":
+            ws = "".join(c for c in t[1] if c in _WS)
+            if ws:
+                self._insert_text(ws)
+            return
+        if k == "comment":
+            self._insert_comment()
+            return
+        if k == "start" and t[1] == "html":
+            return self._m_in_body(t)
+        if k == "start" and t[1] == "noframes":
+            return self._m_in_head(t)
+        if k == "end" and t[1] == "html":
+            self.mode = "after_after_frameset"
+            return
+        if k == "eof":
+            self.done = True
+        return
+
+    def _m_after_after_frameset(self, t):
+        k = t[0]
+        if k == "start" and t[1] == "html":
+            return self._m_in_body(t)
+        if k == "start" and t[1] == "noframes":
+            return self._m_in_head(t)
+        if k == "eof":
+            self.done = True
+        return
+
+
+def parse_document(source: str) -> Node:
+    """Parse an HTML document; returns the <html> element node."""
+    return TreeBuilder().parse(source)

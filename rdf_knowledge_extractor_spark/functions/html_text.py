@@ -16,12 +16,13 @@ Reference semantics (ref:src/handlers/mod.rs:96-141, UrlHandler):
    nested text by construction — reproduced faithfully.
 4. Output is ``"\\n".join(parts)`` (ref:src/handlers/mod.rs:140).
 
-The tree builder below implements the subset of the WHATWG tree
-construction that affects *text-node placement* (head/body sectioning,
-implied tags, void elements, rawtext script/style, entity decoding,
-CRLF normalization).  Full adoption-agency / foster-parenting is not
-modeled (does not move text across the head/body boundary for the
-web-page corpus we target); deviations are documented in tests.
+Parsing is done by the WHATWG-faithful tokenizer + tree constructor in
+`html5_tokenizer.py` / `html5_tree.py` (all insertion modes, foster
+parenting, adoption agency, rawtext/RCDATA/script-escape states,
+scripting-enabled noscript, frameset documents) — the same algorithm
+html5ever implements, so text-node placement and run boundaries match.
+Known approximations are documented in html5_tree.py and exercised by
+tests/test_html_differential.py.
 
 Spark surface: `html_to_text` / `html_metadata` are Arrow-batched
 pandas UDFs (no per-row Python dispatch through Spark; the per-row
@@ -30,205 +31,14 @@ parse itself is inherently scalar work, batched via Arrow transfer).
 
 from __future__ import annotations
 
-from html.parser import HTMLParser
-
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Void elements never hold children (WHATWG §13.1.2)
-_VOID = frozenset(
-    "area base br col embed hr img input link meta param source track wbr".split()
+from rdf_knowledge_extractor_spark.functions.html5_tree import (  # noqa: F401
+    Node,
+    parse_document,
 )
-
-# Elements that belong to <head> during tree construction (WHATWG "in head")
-_HEAD_ONLY = frozenset("title meta link base basefont bgsound noframes".split())
-
-# script/style go to head before body exists, body afterwards
-_HEAD_OR_BODY = frozenset(("script", "style", "template", "noscript"))
-
-
-class Node:
-    """One element; children are Node or str (text node)."""
-
-    __slots__ = ("name", "children", "attrs")
-
-    def __init__(self, name: str, attrs: dict | None = None):
-        self.name = name
-        self.children: list = []
-        self.attrs = attrs or {}
-
-    # -- traversal ----------------------------------------------------
-    def descendant_texts(self) -> list[str]:
-        """All descendant text nodes in tree order (scraper `.text()`)."""
-        out: list[str] = []
-        stack = [iter(self.children)]
-        while stack:
-            it = stack[-1]
-            child = next(it, None)
-            if child is None:
-                stack.pop()
-                continue
-            if isinstance(child, str):
-                out.append(child)
-            else:
-                stack.append(iter(child.children))
-        return out
-
-    def iter_elements(self):
-        """All elements in tree order, self included (the `*` selector)."""
-        yield self
-        for child in self.children:
-            if not isinstance(child, str):
-                yield from child.iter_elements()
-
-    def find_all(self, name: str):
-        return [el for el in self.iter_elements() if el.name == name]
-
-
-class _TreeBuilder(HTMLParser):
-    """HTML5-ish tree builder: correct head/body text placement."""
-
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.root = Node("html")
-        self.head = Node("head")
-        self.body = Node("body")
-        self.root.children = [self.head, self.body]
-        self._stack: list[Node] = []  # open elements *inside* head or body
-        self._section: Node | None = None  # None → before head/body decided
-        self._body_opened = False
-        self._text_buf: list[str] = []
-
-    # -- text buffering (coalesce adjacent character runs into one
-    #    text node, like html5ever) --
-    def _flush_text(self):
-        if not self._text_buf:
-            return
-        text = "".join(self._text_buf)
-        self._text_buf.clear()
-        self._current().children.append(text)
-
-    def _current(self) -> Node:
-        if self._stack:
-            return self._stack[-1]
-        return self._section if self._section is not None else self.body
-
-    def _open_body(self):
-        self._flush_text()
-        self._section = self.body
-        self._body_opened = True
-        self._stack.clear()
-
-    def _ensure_body(self):
-        if self._section is not self.body:
-            self._open_body()
-
-    # -- parser callbacks ----------------------------------------------
-    def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
-        if tag == "html":
-            return
-        if tag == "head":
-            if not self._body_opened:
-                self._flush_text()
-                self._section = self.head
-                self._stack.clear()
-            return
-        if tag == "body":
-            if not self._body_opened:
-                self._open_body()
-            return
-
-        # decide section for this element
-        if not self._stack:  # only section-switch at top level
-            if tag in _HEAD_ONLY:
-                if not self._body_opened:
-                    self._flush_text()
-                    self._section = self.head
-                else:
-                    self._ensure_body()
-            elif tag in _HEAD_OR_BODY:
-                if not self._body_opened:
-                    self._flush_text()
-                    self._section = self.head
-                # else: stays in body
-            else:
-                self._ensure_body()
-        self._flush_text()
-        node = Node(tag, dict(attrs))
-        self._current().children.append(node)
-        if tag not in _VOID:
-            self._stack.append(node)
-
-    def handle_startendtag(self, tag, attrs):
-        tag = tag.lower()
-        if tag in ("html", "head", "body"):
-            return
-        if not self._stack:
-            if tag in _HEAD_ONLY and not self._body_opened:
-                self._flush_text()
-                self._section = self.head
-            elif tag not in _HEAD_ONLY and tag not in _HEAD_OR_BODY:
-                self._ensure_body()
-        self._flush_text()
-        self._current().children.append(Node(tag, dict(attrs)))
-
-    def handle_endtag(self, tag):
-        tag = tag.lower()
-        if tag in ("html", "body"):
-            return  # "after body" char tokens are reprocessed in body anyway
-        if tag == "head":
-            if not self._body_opened:
-                self._flush_text()
-                self._section = None
-            return
-        # pop to the matching open element; ignore stray end tags
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i].name == tag:
-                self._flush_text()
-                del self._stack[i:]
-                return
-
-    def handle_data(self, data):
-        if not data:
-            return
-        if self._section is None and not self._stack:
-            # before head/body: whitespace-only runs are dropped
-            # (WHATWG "before html"/"before head" ignore whitespace)
-            stripped_lead = data.lstrip("\t\n\x0c\r ")
-            if not stripped_lead:
-                return
-            self._ensure_body()
-            data = stripped_lead
-        elif self._section is self.head and not self._stack:
-            # text directly in <head> (not inside title/script/…):
-            # spec reprocesses it "in body"
-            stripped_lead = data.lstrip("\t\n\x0c\r ")
-            if not stripped_lead:
-                return
-            self._open_body()
-            data = stripped_lead
-        self._text_buf.append(data)
-
-    def handle_comment(self, data):
-        self._flush_text()  # comment ends a character run
-
-    def handle_decl(self, decl):
-        pass
-
-    def close(self):
-        self._flush_text()
-        super().close()
-
-
-def parse_document(html: str) -> Node:
-    """Parse an HTML document into a minimal DOM (root = <html>)."""
-    builder = _TreeBuilder()
-    # WHATWG input-stream preprocessing: normalize CRLF / CR to LF
-    builder.feed(html.replace("\r\n", "\n").replace("\r", "\n"))
-    builder.close()
-    return builder.root
 
 
 def extract_text(html: str) -> str:
@@ -254,14 +64,29 @@ def extract_text(html: str) -> str:
     return "\n".join(parts)
 
 
+def _serialize_text(s: str) -> str:
+    """html5ever serializer escaping for text nodes (used by
+    scraper's `inner_html()`): & < > and NBSP."""
+    return (
+        s.replace("&", "&amp;")
+        .replace("\xa0", "&nbsp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
 def extract_metadata(html: str, source: str = "") -> dict[str, str]:
-    """HTML metadata (ref:src/handlers/mod.rs:143-177): title text +
-    <meta name=description|keywords|author content=…>."""
+    """HTML metadata (ref:src/handlers/mod.rs:143-177): title via
+    `inner_html()` (re-serialized, so entities are RE-escaped — 'A &amp;
+    B' stays 'A &amp; B') + <meta name=description|keywords|author>."""
     root = parse_document(html)
     meta: dict[str, str] = {"source": source, "type": "url"}
     titles = root.find_all("title")
     if titles:
-        meta["title"] = "".join(t for t in titles[0].descendant_texts())
+        # title is RCDATA: children are text nodes; inner_html re-escapes
+        meta["title"] = "".join(
+            _serialize_text(c) for c in titles[0].children if isinstance(c, str)
+        )
     for el in root.find_all("meta"):
         name = el.attrs.get("name")
         content = el.attrs.get("content")
