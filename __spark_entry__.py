@@ -216,6 +216,80 @@ def q_kg_jsonld_nodes(spark, sf):
     return jsonld_node_lines(_graph(spark, sf), NS, "kg")
 
 
+def q_kg_rdfxml_lines(spark, sf):
+    """RDF/XML property lines (K6), distributed + oracle-checkable: one
+    row per triple with the exact `<pname …>` line serialize_rdf_xml
+    emits (ref:src/utils/serialization.rs:110-154)."""
+    g = _graph(spark, sf)
+    pname = F.when(
+        F.col("predicate").startswith(NS),
+        F.concat(F.lit("kg:"), F.expr(f"substring(predicate, {len(NS) + 1})")),
+    ).otherwise(F.element_at(F.split(F.col("predicate"), "#"), -1))
+    escaped = F.replace(
+        F.replace(
+            F.replace(F.col("object"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    line = F.when(
+        F.col("object").startswith("http://") | F.col("object").startswith("https://"),
+        F.concat(F.lit('    <'), pname, F.lit(' rdf:resource="'), F.col("object"), F.lit('"/>')),
+    ).otherwise(
+        F.concat(F.lit("    <"), pname, F.lit(">"), escaped, F.lit("</"), pname, F.lit(">"))
+    )
+    return g.select(F.col("subject"), line.alias("line"))
+
+
+def q_kg_connected_components(spark, sf):
+    """North-star canonicalization substrate: connected components over
+    the graph's URI-object edges (doc —belongsTo→ src stars), oracle-
+    checked against a DuckDB WITH RECURSIVE min-reachable walk."""
+    from rdf_knowledge_extractor_spark.operators.components import (
+        connected_components,
+    )
+
+    g = _graph(spark, sf)
+    edges = g.filter(
+        F.col("object").startswith("http://") | F.col("object").startswith("https://")
+    ).select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    return connected_components(edges).select("node", "component")
+
+
+def q_kg_link_mapping(spark, sf):
+    """North-star entity linking, oracle-checked end-to-end: generate
+    deterministic alias variants of every graph entity — `uri+'Inc'`
+    (tier-1 suffix merge) and `uri+'WidgetFactory'/'WidgetFactori'`
+    (cross-key typo pair, 3-gram Jaccard (L-3)/(L-1) ≥ 0.85 → fuzzy
+    tier + connected components) — then run the production
+    link_entities.  The DuckDB oracle replicates key normalization,
+    exact Jaccard and a recursive-CTE component walk."""
+    from rdf_knowledge_extractor_spark.operators.linking import (
+        entity_universe,
+        link_entities,
+    )
+
+    ents = entity_universe(_graph(spark, sf))
+    variants = ents.select(
+        F.explode(
+            F.array(
+                F.col("uri"),
+                F.concat(F.col("uri"), F.lit("Inc")),
+                F.concat(F.col("uri"), F.lit("WidgetFactory")),
+                F.concat(F.col("uri"), F.lit("WidgetFactori")),
+            )
+        ).alias("subject")
+    ).distinct()
+    triples = variants.select(
+        "subject",
+        F.lit(NS + "hasName").alias("predicate"),
+        F.lit("x").alias("object"),
+    )
+    return link_entities(triples).select("uri", "canonical")
+
+
 # -- training-data operators --
 
 def q_dedup_exact(spark, sf):
@@ -248,9 +322,17 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_dedup_embedding(spark, sf):
-    from rdf_knowledge_extractor_spark.operators.similarity import cosine_pairs
+    """Embedding near-dup pairs via the SCALE path: sign-LSH bucketed
+    candidate generation + exact cosine verification (auto-tuned
+    planes/tables for the threshold; miss prob ≤ 1e-5 per qualifying
+    pair).  Oracle-checked against DuckDB's exact all-pairs — same
+    trick as dedup_minhash_lsh: the verified approximate path must
+    reproduce the exact answer."""
+    from rdf_knowledge_extractor_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+    )
 
-    return cosine_pairs(_emb(spark, sf), threshold=0.45)
+    return cosine_pairs_bucketed(_emb(spark, sf), threshold=0.45, dim=64)
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -400,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ntriples_store": q_kg_ntriples_store,
         "kg_turtle_lines": q_kg_turtle_lines,
         "kg_jsonld_nodes": q_kg_jsonld_nodes,
+        "kg_rdfxml_lines": q_kg_rdfxml_lines,
+        "kg_connected_components": q_kg_connected_components,
+        "kg_link_mapping": q_kg_link_mapping,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -528,6 +613,124 @@ def oracle_sql() -> dict[str, str]:
             WHERE subject LIKE 'http%'
               AND list_extract(string_split(list_extract(string_split(predicate, '/'), -1), '#'), -1)
                   IN ('hasLang', 'hasSource', 'belongsTo', 'hasName')
+        """,
+        "kg_rdfxml_lines": f"""
+            SELECT subject,
+              CASE WHEN object LIKE 'http://%' OR object LIKE 'https://%'
+                THEN '    <' ||
+                     (CASE WHEN predicate LIKE '{NS}%'
+                           THEN 'kg:' || substr(predicate, {len(NS) + 1})
+                           ELSE list_extract(string_split(predicate, '#'), -1) END)
+                     || ' rdf:resource="' || object || '"/>'
+                ELSE '    <' ||
+                     (CASE WHEN predicate LIKE '{NS}%'
+                           THEN 'kg:' || substr(predicate, {len(NS) + 1})
+                           ELSE list_extract(string_split(predicate, '#'), -1) END)
+                     || '>' ||
+                     replace(replace(replace(object, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                     || '</' ||
+                     (CASE WHEN predicate LIKE '{NS}%'
+                           THEN 'kg:' || substr(predicate, {len(NS) + 1})
+                           ELSE list_extract(string_split(predicate, '#'), -1) END)
+                     || '>'
+              END AS line
+            FROM ({dedup})
+        """,
+        "kg_connected_components": f"""
+            WITH RECURSIVE
+            g AS ({dedup}),
+            e0 AS (
+              SELECT DISTINCT subject AS a, object AS b FROM g
+              WHERE object LIKE 'http://%' OR object LIKE 'https://%'
+            ),
+            edges AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)),
+            walk(node, comp) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+            )
+            SELECT node, min(comp) AS component FROM walk GROUP BY node
+        """,
+        "kg_link_mapping": f"""
+            WITH RECURSIVE
+            g AS ({derive}),
+            ents AS (
+              SELECT DISTINCT uri FROM (
+                SELECT subject AS uri FROM g
+                UNION ALL
+                SELECT object FROM g
+                WHERE object LIKE 'http://%' OR object LIKE 'https://%'
+              )
+            ),
+            vars AS (
+              -- DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB
+              -- mis-dedupes chained UNIONs in non-recursive CTEs
+              SELECT DISTINCT uri FROM (
+                SELECT uri FROM ents
+                UNION ALL SELECT uri || 'Inc' FROM ents
+                UNION ALL SELECT uri || 'WidgetFactory' FROM ents
+                UNION ALL SELECT uri || 'WidgetFactori' FROM ents
+              )
+            ),
+            loc AS (
+              SELECT uri,
+                list_extract(string_split(list_extract(string_split(uri, '/'), -1), '#'), -1) AS local
+              FROM vars
+            ),
+            keyed AS (
+              SELECT uri,
+                CASE WHEN length(stripped) >= 3 THEN stripped ELSE norm END AS key
+              FROM (
+                SELECT uri,
+                  lower(regexp_replace(
+                    regexp_replace(local,
+                      '([a-z0-9])(Inc|Corp|Corporation|Solutions|Industries|Group|Labs|Ltd|Llc|Gmbh)$',
+                      '\\1'),
+                    '[^a-zA-Z0-9]', '', 'g')) AS stripped,
+                  lower(regexp_replace(local, '[^a-zA-Z0-9]', '', 'g')) AS norm
+                FROM loc
+              )
+            ),
+            reps AS (SELECT key, min(uri) AS rep FROM keyed GROUP BY key),
+            sh AS (
+              -- fixed-range series (DuckDB cannot lateral-join a column
+              -- into generate_series); 96 bounds key length here
+              SELECT DISTINCT key, gk FROM (
+                SELECT key, substr(key, CAST(i AS INT), 3) AS gk
+                FROM reps, generate_series(1, 96) AS t(i)
+                WHERE length(key) >= 3 AND i <= length(key) - 2
+                UNION ALL
+                SELECT key, key FROM reps WHERE length(key) < 3
+              )
+            ),
+            sizes AS (SELECT key, count(*) AS n FROM sh GROUP BY key),
+            cand AS (
+              SELECT a.key AS ka, b.key AS kb, count(*) AS inter
+              FROM sh a JOIN sh b ON a.gk = b.gk AND a.key < b.key
+              GROUP BY 1, 2
+            ),
+            fuzzy AS (
+              SELECT ra.rep AS ua, rb.rep AS ub
+              FROM cand c
+              JOIN sizes sa ON sa.key = c.ka
+              JOIN sizes sb ON sb.key = c.kb
+              JOIN reps ra ON ra.key = c.ka
+              JOIN reps rb ON rb.key = c.kb
+              WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.85
+            ),
+            edges AS (SELECT DISTINCT a, b FROM (SELECT ua AS a, ub AS b FROM fuzzy UNION ALL SELECT ub, ua FROM fuzzy)),
+            walk(node, comp) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+            ),
+            comps AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+            repcanon AS (
+              SELECT r.key, COALESCE(c.component, r.rep) AS canonical
+              FROM reps r LEFT JOIN comps c ON c.node = r.rep
+            )
+            SELECT k.uri AS uri, rc.canonical AS canonical
+            FROM keyed k JOIN repcanon rc ON rc.key = k.key
         """,
         "kg_validation_issues": f"""
             WITH t AS (

@@ -1,22 +1,30 @@
-"""Connected components on a DataFrame edge list (label propagation).
+"""Connected components on a DataFrame edge list.
 
-GraphFrames-style min-label propagation, pure DataFrame ops: each
-node's label starts as itself; every round each node takes the min of
-its own and its neighbors' labels; converges in O(component diameter)
-rounds (entity-alias clusters are near-star-shaped ⇒ 2-4 rounds).
+Two algorithms behind one dispatcher:
 
-Scale design:
-- the symmetrized edge list is persisted once and reused every round;
+- **label propagation** (`connected_components_labelprop`) — min-label
+  flooding; O(component diameter) rounds.  Near-star alias clusters
+  converge in 2-4 rounds and each round is a single cheap join, so it
+  is the fast path for SMALL edge sets (driver job-latency floor
+  dominates there).
+- **alternating large-star / small-star**
+  (`connected_components_star`) — Kiveris et al., "Connected
+  Components in MapReduce and Beyond" (cited in PAPERS.md; SURVEY
+  §2.5): each round rewires every node to the minimum of its
+  neighborhood, halving tree heights — O(log n) rounds REGARDLESS of
+  diameter.  This is the scale path: a 10-hop chain (web-graph-ish
+  component) costs ~log₂ rounds, not 10.
+
+Shared scale design:
 - NO explicit repartition — post-shuffle parallelism is left to AQE
   (`coalescePartitions`), which right-sizes each round for the actual
-  label volume (explicit repartition pins tiny iterations to the full
-  shuffle-partition count and drowns the loop in task overhead; at
-  cluster scale `spark.sql.shuffle.partitions` governs the upper
-  bound);
+  volume (explicit repartition pins tiny iterations to the full
+  shuffle-partition count and drowns the loop in task overhead);
 - per-round `localCheckpoint` truncates the lineage chain (the classic
-  iterative-algorithm plan blow-up), and the convergence test is a
-  LIMIT-1 existence probe on the already-checkpointed round output —
-  one extra cheap job, not a full aggregate.
+  iterative-algorithm plan blow-up: job time ~30 ms, driver Catalyst
+  re-analysis seconds once the tree nests a few rounds deep);
+- convergence tests are single-scalar aggregates on already-
+  checkpointed round outputs.
 """
 
 from __future__ import annotations
@@ -24,16 +32,132 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# below this many edges the per-round job-latency floor dominates and
+# label propagation (1 join/round, star-shaped inputs converge in 2-4
+# rounds) beats the 2-phase star rounds
+_LABELPROP_MAX_EDGES = 100_000
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 30,
 ) -> DataFrame:
     """DataFrame(node, component) — component = min node id (lexicographic
     for strings) reachable from `node`.  Isolated nodes appear iff they
-    appear in `edges` (self-loops allowed)."""
+    appear in `edges` (self-loops allowed).
+
+    Dispatches: label propagation for small edge sets, alternating
+    large-star/small-star at scale (see module docstring)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    n_edges = e.count()
+    try:
+        if n_edges == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "node string, component string"
+            )
+        if n_edges <= _LABELPROP_MAX_EDGES:
+            return connected_components_labelprop(e, "a", "b", max_iter)
+        return connected_components_star(e, "a", "b", max_iter)[0]
+    finally:
+        e.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star; returns (labels, rounds).
+
+    Per round (both phases are one shuffle each):
+      large-star: every node u connects its LARGER neighbors to
+                  m(u) = min(Γ(u) ∪ {u});
+      small-star: every node u connects its smaller neighbors (and
+                  itself) to the min of those.
+    The edge set converges to stars rooted at component minima in
+    O(log n) rounds (paper: O(log² n) worst case, log n observed)."""
+    spark = edges.sparkSession
+    universe = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # convergence fingerprint: (count, xor of pair hashes) — two scalars
+    def _fp(df: DataFrame):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    rounds = 0
+    fp = _fp(e)
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: symmetrize, m(u) = min(neighbors ∪ self),
+        #    emit (larger neighbor, m)
+        nbrs = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+        )
+        large = (
+            nbrs.join(m, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: key every edge by its larger endpoint,
+        #    m = min(smaller neighbors); emit (each smaller nbr, m) and (u, m)
+        keyed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = keyed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            keyed.join(m2, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = _fp(small)
+        e = small
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # converged: edges are (node, component-min) stars
+    labels = (
+        universe.join(e, universe["node"] == e["u"], "left")
+        .select("node", F.coalesce(F.col("v"), F.col("node")).alias("component"))
+    )
+    universe.unpersist()
+    return labels, rounds
+
+
+def connected_components_labelprop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation (O(diameter) rounds) — small-input fast path."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))

@@ -83,38 +83,57 @@ def with_canonical_key(entities: DataFrame, uri_col: str = "uri") -> DataFrame:
     return df.withColumn("shingles", shingles)
 
 
+def shingle_hash_col(shingles_col):
+    """Catalyst-side 64-bit shingle hashing: `xxhash64` inside a
+    `transform` lambda runs JVM-side under whole-stage codegen — the
+    Python UDF then receives int64 arrays and never touches strings.
+    (Round-1 verdict: the per-shingle hashlib loop inside the UDF was
+    the slowest bench stage.)"""
+    return F.transform(shingles_col, lambda s: F.xxhash64(s))
+
+
 def _minhash_band_udf(num_perm: int, bands: int, seed: int = 17):
+    """Banded-MinHash over PRE-HASHED shingles (array<long> input).
+
+    Fully batch-vectorized: one (Σ shingles × num_perm) universal-hash
+    matrix per Arrow batch, per-document signatures via
+    `np.minimum.reduceat`, band folding via wrapping-multiply mixing —
+    zero per-row Python beyond list assembly."""
     rows_per_band = num_perm // bands
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+    _BIDX = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0xBF58476D1CE4E5B9
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bands_of(shingles: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
-                out.append([0] * bands)
-                continue
-            base = np.array(
-                [
-                    int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
-                    for s in sh
-                ],
-                dtype=np.uint64,
-            )
-            # h_i(x) = (a_i * x + b_i) mod p   — (S, P) then min over S
-            hashes = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            sig = hashes.min(axis=0)
-            band_vals = []
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes() + bi.to_bytes(2, "big"), digest_size=8)
-                band_vals.append(int.from_bytes(h.digest(), "big", signed=True))
-            out.append(band_vals)
-        return pd.Series(out)
+    def bands_of(hashed: pd.Series) -> pd.Series:
+        lengths = np.fromiter((len(x) if x is not None else 0 for x in hashed), dtype=np.int64)
+        n_rows = len(lengths)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
+        nonempty = lengths > 0
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in hashed if x is not None and len(x)])
+            if nonempty.any()
+            else np.empty(0, dtype=np.int64)
+        ).astype(np.uint64)
+        out = np.zeros((n_rows, bands), dtype=np.int64)
+        if flat.size:
+            with np.errstate(over="ignore"):
+                H = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE  # (ΣS, P)
+                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+                sig = np.minimum.reduceat(H, offsets, axis=0)  # (rows⁺, P)
+                sigr = sig.reshape(sig.shape[0], bands, rows_per_band)
+                bv = sigr[:, :, 0].copy()
+                for j in range(1, rows_per_band):
+                    bv = bv * _MIX + sigr[:, :, j]
+                bv = (bv ^ _BIDX[None, :]) * _MIX
+                out[nonempty] = bv.astype(np.int64)
+        return pd.Series(list(out))
 
     return bands_of
 
@@ -136,7 +155,9 @@ def lsh_candidate_pairs(
 
     bands_of = _minhash_band_udf(num_perm, bands)
     bucketed = (
-        entities_with_shingles.withColumn("_bands", bands_of(F.col("shingles")))
+        entities_with_shingles.withColumn(
+            "_bands", bands_of(shingle_hash_col(F.col("shingles")))
+        )
         .select(uri_col, F.posexplode("_bands").alias("band_idx", "band_val"))
     )
     # bucket-size via window count: ONE shuffle on the bucket key (the

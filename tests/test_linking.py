@@ -134,3 +134,52 @@ def test_linking_on_generated_corpus(spark, example_config):
     # precision: one key per component
     bad_precision = {c: v for c, v in by_canon.items() if len(v) > 1}
     assert not bad_precision, bad_precision
+
+
+def test_star_cc_matches_labelprop_and_log_rounds(spark):
+    """Large-star/small-star (VERDICT #7): identical labels to label
+    propagation, converging in O(log n) rounds on a CHAIN (label prop
+    would need n rounds)."""
+    import math
+
+    from rdf_knowledge_extractor_spark.operators.components import (
+        connected_components_labelprop,
+        connected_components_star,
+    )
+
+    n = 64  # chain n000-n001-...: diameter 63
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(n - 1)]
+    # plus a separate star and an isolated self-loop
+    star = [("s_hub", f"s_leaf{i}") for i in range(5)]
+    edges = spark.createDataFrame(chain + star + [("iso", "iso")], "src string, dst string")
+
+    labels_star, rounds = connected_components_star(edges, "src", "dst")
+    got = {r["node"]: r["component"] for r in labels_star.collect()}
+    assert all(got[f"n{i:03d}"] == "n000" for i in range(n))
+    assert got["s_hub"] == "s_hub" and got["s_leaf3"] == "s_hub"
+    assert got["iso"] == "iso"
+    # O(log n) + small constant — label prop would take ~63 rounds
+    assert rounds <= int(math.log2(n)) + 4, f"took {rounds} rounds"
+
+    # label prop needs O(diameter)=63 rounds for the same answer —
+    # the very reason star is the scale path (default max_iter=20
+    # would stop short on this chain)
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components_labelprop(
+            edges, "src", "dst", max_iter=70
+        ).collect()
+    }
+    assert lp == got
+
+
+def test_cc_dispatcher_small_and_shapes(spark):
+    from rdf_knowledge_extractor_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}

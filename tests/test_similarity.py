@@ -39,3 +39,44 @@ def test_bruteforce_topk_excludes_self(spark):
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
     counts = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_cosine_pairs_bucketed_equals_exact(spark):
+    """The bucketed sign-LSH path must reproduce the exact all-pairs
+    answer (VERDICT #6: the shipped dedup_embedding path must be
+    scale-shaped AND hash-green vs the exact oracle)."""
+    import numpy as np
+
+    from rdf_knowledge_extractor_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_bucketed,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n = 16, 120
+    base = rng.normal(size=(n, dim))
+    # plant 10 near-dup pairs at high cosine
+    for i in range(10):
+        base[n - 1 - i] = base[i] + rng.normal(scale=0.15, size=dim)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    for t in (0.45, 0.8):
+        exact = {(r.id_a, r.id_b, r.sim) for r in cosine_pairs(emb, t).collect()}
+        buck = {
+            (r.id_a, r.id_b, r.sim)
+            for r in cosine_pairs_bucketed(emb, t, dim=dim).collect()
+        }
+        assert buck == exact, f"threshold {t}: bucketed != exact"
+        assert len(exact) > 0  # planted dups must be found
+
+
+def test_lsh_params_scale_with_threshold():
+    from rdf_knowledge_extractor_spark.operators.similarity import (
+        lsh_params_for_threshold,
+    )
+
+    p_low, t_low = lsh_params_for_threshold(0.45)
+    p_high, t_high = lsh_params_for_threshold(0.9)
+    assert p_high > p_low  # high thresholds afford finer buckets
+    assert t_high < t_low  # and need fewer tables
