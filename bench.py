@@ -69,7 +69,6 @@ def main() -> None:
         extract_triples_stage,
         split_triples_and_lineage,
     )
-    from rdf_knowledge_extractor_spark.functions.html_text import with_extracted_text
     from rdf_knowledge_extractor_spark.operators.canonicalize import canonicalize_triples
     from rdf_knowledge_extractor_spark.operators.dedup import merge_results
     from rdf_knowledge_extractor_spark.operators.linking import link_entities
@@ -93,8 +92,8 @@ def main() -> None:
     pages.count()  # materialize input outside the timed window
 
     t0 = time.monotonic()
-    text = with_extracted_text(pages)
-    extracted = extract_triples_stage(text, cfg, client_kind="stub")
+    # html→text→extract fused in one mapInPandas (single Arrow crossing)
+    extracted = extract_triples_stage(pages, cfg, client_kind="stub", html_col="html")
     triples, _ = split_triples_and_lineage(extracted)
     triples = triples.persist()
     merged = merge_results(triples)

@@ -1,7 +1,8 @@
 """Command-line surface mirroring the reference binary's subcommands
 (ref:src/main.rs:294-358 dispatch): extract, query, export, stats,
-generate, generate-config, validate — so a user of the reference can
-run the same workflows against the Spark engine.
+generate, generate-config, list-templates, validate, check-server,
+generate-templates, demo — the full 11-subcommand surface, so a user
+of the reference can run every workflow against the Spark engine.
 
 Usage examples:
     python -m rdf_knowledge_extractor_spark.cli extract \

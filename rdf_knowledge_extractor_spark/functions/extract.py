@@ -142,6 +142,7 @@ def extract_triples_stage(
     doc_seq_col: str = "doc_seq",
     batch_size: int = 64,
     post_process: bool = True,
+    html_col: str | None = None,
 ) -> DataFrame:
     """pages → extracted triple rows (+ per-doc error sentinels).
 
@@ -149,8 +150,16 @@ def extract_triples_stage(
     column pruning keeps the html binary out of this stage's input.
     The LLM/stub call is amortized per micro-batch of `batch_size` docs
     (north_star: micro-batches rather than per-row).
+
+    With `html_col` set, html→text extraction is FUSED into this UDF:
+    the raw html crosses into Python once and only triple rows cross
+    back — versus the two-stage shape (pandas-UDF text, then
+    mapInPandas extract) where ~the full corpus crosses the Arrow
+    boundary twice more.  Use when the text column need not be
+    materialized on its own (the scaling-bench / production hot path).
     """
     cfg = config  # closure capture; small dataclass, serialized with the task
+    html_source = html_col is not None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = make_client(client_kind, cfg)
@@ -158,11 +167,24 @@ def extract_triples_stage(
         schema = cfg.rdf_schema
         meta = {"llm_model": getattr(client, "model", client_kind),
                 "extraction_config": cfg.name}
+        if html_source:
+            from rdf_knowledge_extractor_spark.functions.html_text import (
+                _decode,
+                extract_text,
+            )
         for pdf in batches:
             rows: list[dict] = []
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
-                texts = chunk[text_col].fillna("").tolist()
+                if html_source:
+                    # fused html→text→extract: ONE JVM↔Python crossing
+                    # for the whole hot path (text never round-trips
+                    # through Arrow just to come back for extraction)
+                    texts = [
+                        extract_text(_decode(b)) for b in chunk[html_col].tolist()
+                    ]
+                else:
+                    texts = chunk[text_col].fillna("").tolist()
                 prompts = [
                     build_extraction_prompt(t, questions, schema) for t in texts
                 ]
@@ -207,7 +229,9 @@ def extract_triples_stage(
                 columns=[f.name for f in EXTRACTED_SCHEMA.fields],
             )
 
-    pruned = pages_df.select(url_col, doc_seq_col, text_col)
+    pruned = pages_df.select(
+        url_col, doc_seq_col, html_col if html_source else text_col
+    )
     return pruned.mapInPandas(run, schema=EXTRACTED_SCHEMA)
 
 

@@ -157,28 +157,48 @@ class KgPipeline:
         return persisted
 
     # -- the pipeline ----------------------------------------------------
-    def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
+    def run(
+        self, pages: DataFrame, resume: bool = True, fused: bool = False
+    ) -> DataFrame:
+        """`fused=True` merges the text and extract stages into ONE
+        mapInPandas (html crosses the Arrow boundary once — the
+        production hot path; see extract_triples_stage(html_col=…)),
+        trading away the standalone s1_text checkpoint.  Default keeps
+        the two-stage shape so a text-only resume point exists."""
         n = self.partitions
         # input identity folds into every stage fingerprint: re-running on
         # different pages (or an edited config) recomputes instead of
         # silently returning a stale checkpoint
         self._input_id = self._input_identity(pages)
 
-        s1 = self._run_stage(
-            "s1_text",
-            {"n": n},
-            lambda: with_extracted_text(
-                pages.repartition(n, "url"), html_col="html", out_col="text"
-            ).select("url", "doc_seq", "text", "lang"),
-            resume,
-        )
+        if fused:
+            s2 = self._run_stage(
+                "s2_extracted",
+                {"n": n, "client": self.client_kind, "fused": True},
+                lambda: extract_triples_stage(
+                    pages.repartition(n, "url"),
+                    self.config,
+                    self.client_kind,
+                    html_col="html",
+                ),
+                resume,
+            )
+        else:
+            s1 = self._run_stage(
+                "s1_text",
+                {"n": n},
+                lambda: with_extracted_text(
+                    pages.repartition(n, "url"), html_col="html", out_col="text"
+                ).select("url", "doc_seq", "text", "lang"),
+                resume,
+            )
 
-        s2 = self._run_stage(
-            "s2_extracted",
-            {"n": n, "client": self.client_kind},
-            lambda: extract_triples_stage(s1, self.config, self.client_kind),
-            resume,
-        )
+            s2 = self._run_stage(
+                "s2_extracted",
+                {"n": n, "client": self.client_kind},
+                lambda: extract_triples_stage(s1, self.config, self.client_kind),
+                resume,
+            )
 
         triples, lineage = split_triples_and_lineage(s2)
         s3 = self._run_stage(

@@ -151,3 +151,27 @@ def test_prompt_sections(example_config):
     assert "\nAvailable Predicates:\n" in p
     assert "## Instructions" in p
     assert "Return the triples as a JSON array" in p
+
+
+def test_fused_html_extract_equals_two_stage(spark, example_config):
+    """extract_triples_stage(html_col=...) must produce exactly the
+    rows of with_extracted_text -> extract_triples_stage (the fused
+    path is the bandwidth optimization, not a semantic change)."""
+    from rdf_knowledge_extractor_spark.functions.extract import (
+        extract_triples_stage,
+    )
+    from rdf_knowledge_extractor_spark.functions.html_text import (
+        with_extracted_text,
+    )
+    from rdf_knowledge_extractor_spark.sources.pages import pages_dataframe
+
+    cfg = example_config
+    pages = pages_dataframe(spark, 40, seed=13).drop("text")
+    two_stage = extract_triples_stage(
+        with_extracted_text(pages).select("url", "doc_seq", "text"), cfg
+    )
+    fused = extract_triples_stage(pages, cfg, html_col="html")
+    cols = two_stage.columns
+    a = sorted(tuple(str(r[c]) for c in cols) for r in two_stage.collect())
+    b = sorted(tuple(str(r[c]) for c in cols) for r in fused.collect())
+    assert a == b and len(a) > 0

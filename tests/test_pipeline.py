@@ -133,3 +133,22 @@ def test_pipeline_fingerprint_covers_input_and_config(spark, tmp_path):
     pipe4 = KgPipeline(spark, cfg2, str(tmp_path / "ckpt"), partitions=2)
     pipe4.run(pages2)
     assert not any(r.resumed for r in pipe4.results)
+
+
+def test_pipeline_fused_matches_two_stage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rdf_knowledge_extractor_spark.config import Configuration
+    from rdf_knowledge_extractor_spark.plans.pipeline import KgPipeline
+    from rdf_knowledge_extractor_spark.sources.pages import pages_dataframe
+
+    cfg = Configuration.example()
+    pages = pages_dataframe(spark, 30, seed=5).drop("text")
+    g1 = KgPipeline(spark, cfg, str(tmp_path / "a"), partitions=2).run(pages)
+    g2 = KgPipeline(spark, cfg, str(tmp_path / "b"), partitions=2).run(
+        pages, fused=True
+    )
+    cols = ["subject", "predicate", "object"]
+    a = sorted(tuple(r[c] for c in cols) for r in g1.select(cols).collect())
+    b = sorted(tuple(r[c] for c in cols) for r in g2.select(cols).collect())
+    assert a == b and len(a) > 0

@@ -69,8 +69,7 @@ in_bytes = pages.selectExpr("sum(length(html))").collect()[0][0]
 # are identical at every parallelism level and would otherwise read as
 # a fake serial fraction
 warm = pages_dataframe_distributed(spark, 300, seed=7, num_partitions=4)
-wt = with_extracted_text(warm).select("url", "doc_seq", "text")
-wx = extract_triples_stage(wt, cfg, client_kind="stub")
+wx = extract_triples_stage(warm, cfg, client_kind="stub", html_col="html")
 wtr, _ = split_triples_and_lineage(wx)
 wm = merge_results(wtr).persist()
 wm.count()
@@ -80,15 +79,17 @@ wm.unpersist()
 stage_times = {{}}
 t0 = time.monotonic()
 
-# html→text and triple extraction run FUSED (the production shape:
-# text never needs standalone materialization); the one big
-# intermediate (extracted triples) goes DISK_ONLY on the tmpfs-backed
-# local dir — stable across parallelism levels, no eviction noise
+# html→text and triple extraction run FUSED INSIDE ONE UDF
+# (html_col=...): raw html crosses the Arrow boundary once, only
+# triple rows cross back; the one big intermediate (extracted triples)
+# goes DISK_ONLY on the tmpfs-backed local dir — stable across
+# parallelism levels, no eviction noise
 from pyspark import StorageLevel
 
 t = time.monotonic()
-text = with_extracted_text(pages).select("url", "doc_seq", "text")
-extracted = extract_triples_stage(text, cfg, client_kind="stub").persist(StorageLevel.DISK_ONLY)
+extracted = extract_triples_stage(
+    pages, cfg, client_kind="stub", html_col="html"
+).persist(StorageLevel.DISK_ONLY)
 extracted.count()
 stage_times["s12_text_extract"] = round(time.monotonic() - t, 2)
 
@@ -133,30 +134,45 @@ def run_one(cpus: int, n_pages: int) -> dict:
     raise RuntimeError(f"worker failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
 
 
-def run_best(cpus: int, n_pages: int, repeats: int) -> dict:
-    """Best-of-N throughput per leg: the sandbox VM shows ±70%
-    run-to-run swings from co-tenant CPU steal; the best run is the
-    least-contaminated measurement of the engine's capability.  All
-    runs are recorded for transparency."""
-    runs = [run_one(cpus, n_pages) for _ in range(repeats)]
-    best = max(runs, key=lambda r: r["triples_per_sec"])
-    best["all_runs_sec"] = [r["elapsed_sec"] for r in runs]
-    return best
-
-
 def main():
+    """Alternating paired protocol: legs run interleaved
+    (low, high, low, high, …) so each pair (low_i, high_i) sees the
+    same co-tenant load window; paired efficiencies cancel slow load
+    drift.  Reported: the MEDIAN of paired efficiencies (headline) and
+    the best-leg efficiency (engine capability); every run listed."""
+    import statistics
+
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     high = low * 4
 
-    r_low = run_best(low, n_pages, repeats)
-    r_high = run_best(high, n_pages, repeats)
-    eff = (r_high["triples_per_sec"] / r_low["triples_per_sec"]) / (high / low)
+    lows, highs, paired = [], [], []
+    for i in range(repeats):
+        lows.append(run_one(low, n_pages))
+        highs.append(run_one(high, n_pages))
+        paired.append(
+            round(
+                (highs[-1]["triples_per_sec"] / lows[-1]["triples_per_sec"])
+                / (high / low),
+                3,
+            )
+        )
+        print(f"pair {i}: low={lows[-1]['elapsed_sec']}s "
+              f"high={highs[-1]['elapsed_sec']}s eff={paired[-1]}",
+              file=sys.stderr)
+    r_low = max(lows, key=lambda r: r["triples_per_sec"])
+    r_high = max(highs, key=lambda r: r["triples_per_sec"])
+    r_low["all_runs_sec"] = [r["elapsed_sec"] for r in lows]
+    r_high["all_runs_sec"] = [r["elapsed_sec"] for r in highs]
+    eff_best = (r_high["triples_per_sec"] / r_low["triples_per_sec"]) / (high / low)
+    eff_median = statistics.median(paired)
     report = {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(eff_median, 3),
         "unit": "ratio",
+        "paired_efficiencies": paired,
+        "best_leg_efficiency": round(eff_best, 3),
         "low": r_low,
         "high": r_high,
         "target": 0.8,
@@ -194,9 +210,12 @@ from the timed window.
 {row(rl)}
 {row(rh)}
 
-**Scaling efficiency** = (R_{high} / R_{low}) / ({high}/{low}) =
+**Scaling efficiency (median of paired runs)** = **{report['value']}**
+(target ≥ 0.8).  Paired efficiencies (legs interleaved low/high so
+each pair shares a co-tenant load window): {report['paired_efficiencies']}.
+Best-leg efficiency = (R_{high} / R_{low}) / ({high}/{low}) =
 ({rh['triples_per_sec']} / {rl['triples_per_sec']}) / 4 =
-**{report['value']}** (target ≥ 0.8)
+{report['best_leg_efficiency']}.
 
 ## Per-stage wall-clock (sec)
 
@@ -222,10 +241,13 @@ from the timed window.
   understates cluster scaling.
 - no salting needed at this corpus (no hot head entity); skew handling
   verified separately in tests (oversized-LSH-bucket drop + AQE)
+- html→text and extraction fused in ONE mapInPandas (html crosses the
+  Arrow boundary once; only triple rows cross back)
 - sandbox noise: the VM shows ±70% run-to-run wall-clock swings
-  (co-tenant CPU steal); each leg is run {reps}× and the best
-  throughput is reported (all wall-clocks: local[{low}] =
-  {rl.get('all_runs_sec')}, local[{high}] = {rh.get('all_runs_sec')})
+  (co-tenant CPU steal); legs are interleaved {reps}× and the MEDIAN
+  of per-pair efficiencies is the headline (pairing cancels slow load
+  drift); all wall-clocks: local[{low}] = {rl.get('all_runs_sec')},
+  local[{high}] = {rh.get('all_runs_sec')}
 """
 
 
