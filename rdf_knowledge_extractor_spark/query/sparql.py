@@ -12,7 +12,9 @@ Two engines:
    e.g. ref:templates/sales_target_companies.yaml:12-24 with OPTIONAL
    / ORDER BY DESC / LIMIT).  Supported subset: PREFIX, SELECT ?v…|*,
    basic graph patterns with `;` predicate lists and `a` = rdf:type,
-   OPTIONAL { … }, ORDER BY (ASC|DESC)(?v), LIMIT n.  Compilation is
+   OPTIONAL { … }, FILTER(…) with =/!=/</<=/>/>= (numeric-coercing),
+   ||/&&/!, CONTAINS/STRSTARTS/STRENDS/REGEX/BOUND,
+   ORDER BY (ASC|DESC)(?v), LIMIT n.  Compilation is
    classic BGP-as-self-joins: one aliased scan of the triples table
    per pattern, equi-joined on shared variables; OPTIONAL groups are
    left joins.  Catalyst then does join reordering/pushdown; a
@@ -73,16 +75,18 @@ class _Pattern:
 class _Group:
     patterns: list[_Pattern] = field(default_factory=list)
     optionals: list["_Group"] = field(default_factory=list)
+    filters: list = field(default_factory=list)  # parsed FILTER ASTs
 
 
 _TOKEN_RE = re.compile(
     r"""
-    (?P<uri><[^>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*")
+    (?P<uri><[^<>\s]*>)              # IRIs contain no whitespace — keeps
+  | (?P<literal>"(?:[^"\\]|\\.)*")   # '<' usable as a comparison op
   | (?P<var>\?[A-Za-z_][\w]*)
   | (?P<pname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
   | (?P<kw>[A-Za-z_][\w]*)
-  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<op>\|\||&&|!=|<=|>=|=|<|>|!)
   | (?P<punct>[{}().;,*])
     """,
     re.X,
@@ -163,6 +167,67 @@ class SparqlEngine:
             # faithful substring dispatcher via execute_sparql's fallback
             raise SparqlError(f"bare term {term!r} (expected <uri>, prefix:name, ?var or 'a')")
 
+        # --- FILTER expression parser (recursive descent → AST) -------
+        # expr := and ('||' and)* ; and := unary ('&&' unary)*
+        # unary := '!' unary | primary
+        # primary := '(' expr ')' | FUNC '(' args ')' | term [cmp term]
+        _FUNCS = {"contains", "strstarts", "strends", "regex", "bound", "lang", "str"}
+
+        def parse_filter_expr():
+            def p_or():
+                node = p_and()
+                while peek() == "||":
+                    take()
+                    node = ("or", node, p_and())
+                return node
+
+            def p_and():
+                node = p_unary()
+                while peek() == "&&":
+                    take()
+                    node = ("and", node, p_unary())
+                return node
+
+            def p_unary():
+                if peek() == "!":
+                    take()
+                    return ("not", p_unary())
+                return p_primary()
+
+            def p_term():
+                t = take()
+                if t is None:
+                    raise SparqlError("unterminated FILTER expression")
+                if t.lower() in _FUNCS and peek() == "(":
+                    take()
+                    args = [p_or()]
+                    while peek() == ",":
+                        take()
+                        args.append(p_or())
+                    expect(")")
+                    return ("func", t.lower(), args)
+                if t == "(":
+                    node = p_or()
+                    expect(")")
+                    return node
+                if t.startswith("?"):
+                    return ("var", t[1:])
+                if t.startswith('"'):
+                    return ("lit", t[1:-1].replace('\\"', '"'))
+                if re.fullmatch(r"-?\d+(?:\.\d+)?", t):
+                    return ("num", float(t))
+                # IRI or prefixed name → constant string
+                return ("lit", resolve(t).removeprefix("\0LIT"))
+
+            def p_primary():
+                left = p_term()
+                if peek() in ("=", "!=", "<", "<=", ">", ">="):
+                    op = take()
+                    return ("cmp", op, left, p_term())
+                return left
+
+            return p_or()
+
         def parse_group() -> _Group:
             nonlocal pos
             expect("{")
@@ -171,6 +236,14 @@ class SparqlEngine:
                 if peek().upper() == "OPTIONAL":
                     take()
                     g.optionals.append(parse_group())
+                    continue
+                if peek().upper() == "FILTER":
+                    take()
+                    expect("(")
+                    g.filters.append(parse_filter_expr())
+                    expect(")")
+                    if peek() == ".":
+                        take()
                     continue
                 subj = resolve(take())
                 while True:
@@ -259,7 +332,72 @@ class SparqlEngine:
             else:
                 common = sorted(set(df.columns) & set(odf.columns))
                 df = df.join(odf, on=common, how="left") if common else df.crossJoin(odf)
+        for flt in g.filters:
+            df = df.filter(self._filter_to_column(flt, set(df.columns)))
         return df
+
+    def _filter_to_column(self, ast, columns: set[str]):
+        """FILTER AST → Catalyst Column.  Filters compile into the plan,
+        so Catalyst pushes them down into the pattern scans."""
+        kind = ast[0]
+        if kind == "or":
+            return self._filter_to_column(ast[1], columns) | self._filter_to_column(ast[2], columns)
+        if kind == "and":
+            return self._filter_to_column(ast[1], columns) & self._filter_to_column(ast[2], columns)
+        if kind == "not":
+            return ~self._filter_to_column(ast[1], columns)
+        if kind == "var":
+            if ast[1] not in columns:
+                raise SparqlError(f"FILTER references unbound variable ?{ast[1]}")
+            return F.col(ast[1])
+        if kind == "lit":
+            return F.lit(ast[1])
+        if kind == "num":
+            v = ast[1]
+            return F.lit(int(v) if v == int(v) else v)
+        if kind == "cmp":
+            op, lhs, rhs = ast[1], ast[2], ast[3]
+            numeric = lhs[0] == "num" or rhs[0] == "num"
+            left = self._filter_to_column(lhs, columns)
+            right = self._filter_to_column(rhs, columns)
+            if numeric:  # SPARQL numeric comparison over string storage:
+                # try_cast keeps non-numeric values NULL (filter-false)
+                # instead of raising under ANSI mode
+                left = left.try_cast("double")
+                right = right.try_cast("double")
+            return {
+                "=": left == right,
+                "!=": left != right,
+                "<": left < right,
+                "<=": left <= right,
+                ">": left > right,
+                ">=": left >= right,
+            }[op]
+        if kind == "func":
+            name, args = ast[1], ast[2]
+            cols = [self._filter_to_column(a, columns) for a in args]
+            if name == "contains":
+                return cols[0].contains(cols[1])
+            if name == "strstarts":
+                return cols[0].startswith(cols[1])
+            if name == "strends":
+                return cols[0].endswith(cols[1])
+            if name == "regex":
+                pat = args[1]
+                if pat[0] != "lit":
+                    raise SparqlError("REGEX pattern must be a literal")
+                pattern = pat[1]
+                if len(args) > 2 and args[2][0] == "lit" and "i" in args[2][1]:
+                    pattern = "(?i)" + pattern
+                return cols[0].rlike(pattern)
+            if name == "bound":
+                return cols[0].isNotNull()
+            if name == "str":
+                return cols[0].cast("string")
+            if name == "lang":
+                return F.lit("")  # no language tags in the data model
+            raise SparqlError(f"unsupported FILTER function {name}")
+        raise SparqlError(f"bad FILTER node {ast!r}")
 
     def execute(self, query: str) -> DataFrame:
         proj, star, group, order, limit = self.parse(query)

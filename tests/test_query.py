@@ -150,3 +150,117 @@ def test_sparql_fallback_only_for_loose_queries(spark):
     # IRI-bearing query with a syntax error → propagate too
     with pytest.raises(SparqlError):
         execute_sparql(graph, "SELECT ?s WHERE { ?s <http://e/hasName ?n }")
+
+
+def _filter_graph(spark):
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+
+    ns = "http://biz.example.org/ontology#"
+    rows = [
+        ("http://e/a", ns + "partneredWith", "http://e/b", 1.0, None, {}, 0, 0),
+        ("http://e/b", ns + "foundedBy", "http://e/p1", 1.0, None, {}, 0, 1),
+        ("http://e/c", ns + "hasName", "Acme Corp", 1.0, None, {}, 0, 2),
+        ("http://e/c", ns + "hasScore", "85", 1.0, None, {}, 0, 3),
+        ("http://e/d", ns + "hasScore", "42", 1.0, None, {}, 0, 4),
+        ("http://e/e", ns + "hasScore", "not-a-number", 1.0, None, {}, 0, 5),
+    ]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA), ns
+
+
+def test_filter_disjunction_on_predicates(spark):
+    """The reference's generated executive_summary template query
+    (ref:src/main.rs:905-917) runs on the REAL engine now."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    graph, ns = _filter_graph(spark)
+    q = f"""
+    PREFIX biz: <{ns}>
+    SELECT ?subject ?predicate ?object WHERE {{
+      ?subject ?predicate ?object .
+      FILTER(
+        ?predicate = biz:partneredWith ||
+        ?predicate = biz:foundedBy ||
+        ?predicate = biz:ceoOf
+      )
+    }}
+    """
+    rows = {(r.subject, r.predicate) for r in execute_sparql(graph, q).collect()}
+    assert rows == {
+        ("http://e/a", ns + "partneredWith"),
+        ("http://e/b", ns + "foundedBy"),
+    }
+
+
+def test_filter_numeric_comparison_and_try_cast(spark):
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    graph, ns = _filter_graph(spark)
+    q = f"""
+    PREFIX biz: <{ns}>
+    SELECT ?s ?score WHERE {{
+      ?s biz:hasScore ?score .
+      FILTER(?score > 50)
+    }}
+    ORDER BY DESC(?score) LIMIT 5
+    """
+    rows = [(r.s, r.score) for r in execute_sparql(graph, q).collect()]
+    # non-numeric score rows drop out via try_cast NULL, no ANSI error
+    assert rows == [("http://e/c", "85")]
+
+
+def test_filter_functions_and_negation(spark):
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    graph, ns = _filter_graph(spark)
+    q = f"""
+    PREFIX biz: <{ns}>
+    SELECT ?s ?name WHERE {{
+      ?s biz:hasName ?name .
+      FILTER(CONTAINS(?name, "Acme") && !STRSTARTS(?name, "Beta") && REGEX(?name, "corp", "i"))
+    }}
+    """
+    rows = [r.name for r in execute_sparql(graph, q).collect()]
+    assert rows == ["Acme Corp"]
+
+
+def test_filter_unbound_var_raises(spark):
+    import pytest
+
+    from rdf_knowledge_extractor_spark.query.sparql import (
+        SparqlError,
+        execute_sparql,
+    )
+
+    graph, ns = _filter_graph(spark)
+    q = f"""
+    PREFIX biz: <{ns}>
+    SELECT ?s WHERE {{ ?s biz:hasName ?n . FILTER(?missing = "x") }}
+    """
+    with pytest.raises(SparqlError, match="unbound"):
+        execute_sparql(graph, q)
+
+
+def test_generated_templates_run_on_real_engine(spark, tmp_path):
+    """The two templates generate-templates writes must execute on the
+    real engine end-to-end (OPTIONAL + FILTER coverage)."""
+    from rdf_knowledge_extractor_spark.templates.engine import TemplateManager
+    from rdf_knowledge_extractor_spark.cli import cmd_generate_templates
+
+    class A:
+        output_dir = str(tmp_path)
+
+    cmd_generate_templates(A)
+    graph, ns = _filter_graph(spark)
+    # the templates use prefix biz: without declaring it; register via
+    # a PREFIX-carrying override is the caller's job — rewrite inline
+    import yaml
+
+    for f in ("company_report.yaml", "executive_summary.yaml"):
+        spec = yaml.safe_load((tmp_path / f).read_text())
+        mgr = TemplateManager(graph)
+        for dq in spec["data_queries"]:
+            q = "PREFIX biz: <" + ns + ">\n" + dq["sparql_query"]
+            from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+            df = execute_sparql(graph, q)
+            assert df.count() >= 0  # executes without error
