@@ -614,6 +614,35 @@ def oracle_sql() -> dict[str, str]:
               AND list_extract(string_split(list_extract(string_split(predicate, '/'), -1), '#'), -1)
                   IN ('hasLang', 'hasSource', 'belongsTo', 'hasName')
         """,
+        "kg_jsonld_nodes": f"""
+            WITH g AS ({dedup}),
+            kv AS (
+              SELECT subject,
+                CASE WHEN predicate LIKE '{NS}%'
+                     THEN 'kg:' || substr(predicate, {len(NS) + 1})
+                     ELSE predicate END AS k,
+                CASE WHEN object LIKE 'http://%' OR object LIKE 'https://%'
+                     THEN '{{"@id":' || CAST(to_json(object) AS VARCHAR) || '}}'
+                     ELSE CAST(to_json(object) AS VARCHAR) END AS v,
+                row_number() OVER (
+                  PARTITION BY subject,
+                    CASE WHEN predicate LIKE '{NS}%'
+                         THEN 'kg:' || substr(predicate, {len(NS) + 1})
+                         ELSE predicate END
+                  ORDER BY doc_seq DESC, triple_seq DESC
+                ) AS rn
+              FROM g
+            ),
+            props AS (
+              SELECT subject,
+                string_agg(CAST(to_json(k) AS VARCHAR) || ':' || v, ',' ORDER BY k, v) AS p
+              FROM kv WHERE rn = 1 GROUP BY subject
+            )
+            SELECT '{{"@id":' || CAST(to_json(subject) AS VARCHAR)
+                   || CASE WHEN length(p) > 0 THEN ',' || p ELSE '' END
+                   || '}}' AS line
+            FROM props
+        """,
         "kg_rdfxml_lines": f"""
             SELECT subject,
               CASE WHEN object LIKE 'http://%' OR object LIKE 'https://%'
