@@ -25,6 +25,16 @@ python -m rdf_knowledge_extractor_spark.cli generate \
   --template examples/top_entities_template.yaml \
   --kg "$WORK/kg.json" -o "$WORK/report.md"
 
+# full-surface extras (round 2): validate config, list templates,
+# LLM-populated demo against the same KG
+python -m rdf_knowledge_extractor_spark.cli validate -c examples/business_config.yaml
+python -m rdf_knowledge_extractor_spark.cli generate-templates -o "$WORK/templates"
+python -m rdf_knowledge_extractor_spark.cli list-templates -t "$WORK/templates"
+python -m rdf_knowledge_extractor_spark.cli demo --skip-extraction \
+  --config examples/business_config.yaml --kg "$WORK/kg.json" \
+  -t examples/sales_llm_template.yaml -o "$WORK/populated.md" \
+  --nt-output "$WORK/demo.nt"
+
 echo "--- report.md ---"
 cat "$WORK/report.md"
 echo "--- artifacts in $WORK ---"

@@ -78,3 +78,52 @@ def test_stream_graph_merge_dedups(spark, example_config, tmp_path):
     # replay the SAME input with a FRESH checkpoint: anti-join skips all
     run_once("c2")
     assert spark.read.parquet(graph_path).count() == n1
+
+
+def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): event-time
+    sessions with gap close + watermark-timeout close, matching the
+    batch lag/window sessionization on the same data."""
+    import datetime as dt
+
+    from rdf_knowledge_extractor_spark.streaming.stateful import (
+        streaming_sessions_stateful,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: two sessions (gap > 1800s between event 2 and 3)
+    for i, off in enumerate([0, 60, 120, 4000, 4100]):
+        rows.append((i, base + dt.timedelta(seconds=off), 1, "click", 10.0))
+    # user 2: one session
+    rows.append((10, base + dt.timedelta(seconds=30), 2, "click", 5.0))
+    # a far-future event advances the watermark so open sessions time out
+    rows.append((99, base + dt.timedelta(days=2), 3, "click", 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "events_in")
+    df.coalesce(1).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sessions = streaming_sessions_stateful(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.n_events, r.total_value)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # user 1 session A (3 events) closes inline on the gap; session B
+    # (2 events) and user 2's session close via watermark timeout
+    assert (1, 3, 30.0) in got
+    assert (1, 2, 20.0) in got
+    assert (2, 1, 5.0) in got
