@@ -31,15 +31,29 @@ def first_occurrence_dedup(
 ) -> DataFrame:
     """Keep the first occurrence per key (first row's payload wins).
 
-    Equivalent semantics to ref:src/core/extractor.rs:327-343 but hash
-    + window instead of nested scan.  `dropDuplicates` would be
-    nondeterministic about the surviving row; this is not.
+    Equivalent semantics to ref:src/core/extractor.rs:327-343,
+    expressed as `min_by(payload, ordinal)` aggregation rather than a
+    window: the hash aggregate gets a MAP-SIDE PARTIAL COMBINE, so only
+    one pre-combined row per (key, input-partition) crosses the
+    shuffle — a window would shuffle EVERY duplicate row and sort each
+    group.  At web scale (many near-identical extractions per key) the
+    shuffled volume drops from O(rows) to O(distinct keys × partitions).
+    Determinism: `order_cols` form a unique ordinal per row
+    (`dropDuplicates` would be nondeterministic about the survivor).
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    payload = [c for c in df.columns if c not in keys]
+    # nulls_last parity with the previous window form: null ordinals
+    # (error-sentinel rows) must never win over real ones
+    _MAXL = (1 << 63) - 1
+    ordinal = F.struct(
+        *[F.coalesce(F.col(c).cast("long"), F.lit(_MAXL)).alias(c) for c in order_cols]
+    )
+    first = F.min_by(F.struct(*payload), ordinal)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*keys)
+        .agg(first.alias("_first"))
+        .select(*keys, *[F.col(f"_first.{c}").alias(c) for c in payload])
+        .select(*df.columns)  # restore original column order
     )
 
 
