@@ -76,7 +76,14 @@ wm.count()
 canonicalize_triples(wm, link_entities(wm)).count()
 wm.unpersist()
 
+def _cpu_stat():
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    return sum(vals), vals[7] if len(vals) > 7 else 0  # (total, steal)
+
 stage_times = {{}}
+_tot0, _steal0 = _cpu_stat()
 t0 = time.monotonic()
 
 # html→text and triple extraction run FUSED INSIDE ONE UDF
@@ -110,7 +117,10 @@ n_triples = graph.count()
 stage_times["s5_canonicalize"] = round(time.monotonic() - t, 2)
 
 elapsed = time.monotonic() - t0
+_tot1, _steal1 = _cpu_stat()
+steal_pct = round(100.0 * (_steal1 - _steal0) / max(_tot1 - _tot0, 1), 2)
 print("RESULT " + json.dumps({{
+    "steal_pct": steal_pct,
     "cpus": cpus, "n_pages": n_in, "input_bytes": int(in_bytes),
     "n_triples": n_triples, "elapsed_sec": round(elapsed, 2),
     "pages_per_sec": round(n_in / elapsed, 2),
@@ -159,7 +169,9 @@ def main():
             )
         )
         print(f"pair {i}: low={lows[-1]['elapsed_sec']}s "
-              f"high={highs[-1]['elapsed_sec']}s eff={paired[-1]}",
+              f"(steal {lows[-1].get('steal_pct')}%) "
+              f"high={highs[-1]['elapsed_sec']}s "
+              f"(steal {highs[-1].get('steal_pct')}%) eff={paired[-1]}",
               file=sys.stderr)
     r_low = max(lows, key=lambda r: r["triples_per_sec"])
     r_high = max(highs, key=lambda r: r["triples_per_sec"])
