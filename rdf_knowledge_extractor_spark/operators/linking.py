@@ -108,31 +108,49 @@ def _minhash_band_udf(num_perm: int, bands: int, seed: int = 17):
         0xBF58476D1CE4E5B9
     )
 
+    # shingle budget per vectorized chunk: bounds the (ΣS × P) hash
+    # matrix to ~25 MB of uint64 working set per executor python worker
+    # — many workers run concurrently, so one whole-Arrow-batch matrix
+    # (hundreds of MB × copies × workers) would swap the box
+    _CHUNK_SHINGLES = 50_000
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bands_of(hashed: pd.Series) -> pd.Series:
-        lengths = np.fromiter((len(x) if x is not None else 0 for x in hashed), dtype=np.int64)
+        vals = hashed.tolist()
+        lengths = np.fromiter((len(x) if x is not None else 0 for x in vals), dtype=np.int64)
         n_rows = len(lengths)
         if n_rows == 0:
             return pd.Series([], dtype=object)
-        nonempty = lengths > 0
-        flat = (
-            np.concatenate([np.asarray(x, dtype=np.int64) for x in hashed if x is not None and len(x)])
-            if nonempty.any()
-            else np.empty(0, dtype=np.int64)
-        ).astype(np.uint64)
         out = np.zeros((n_rows, bands), dtype=np.int64)
-        if flat.size:
-            with np.errstate(over="ignore"):
-                H = (flat[:, None] * a[None, :] + b[None, :]) % _MERSENNE  # (ΣS, P)
-                offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-                np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-                sig = np.minimum.reduceat(H, offsets, axis=0)  # (rows⁺, P)
-                sigr = sig.reshape(sig.shape[0], bands, rows_per_band)
-                bv = sigr[:, :, 0].copy()
-                for j in range(1, rows_per_band):
-                    bv = bv * _MIX + sigr[:, :, j]
-                bv = (bv ^ _BIDX[None, :]) * _MIX
-                out[nonempty] = bv.astype(np.int64)
+        start = 0
+        with np.errstate(over="ignore"):
+            while start < n_rows:
+                end, budget = start, 0
+                while end < n_rows and (budget == 0 or budget + lengths[end] <= _CHUNK_SHINGLES):
+                    budget += lengths[end]
+                    end += 1
+                chunk_lens = lengths[start:end]
+                nonempty = chunk_lens > 0
+                if nonempty.any():
+                    flat = np.concatenate(
+                        [np.asarray(vals[i], dtype=np.int64) for i in range(start, end) if lengths[i]]
+                    ).astype(np.uint64)
+                    H = flat[:, None] * a[None, :]  # (ΣS, P)
+                    H += b[None, :]
+                    H %= _MERSENNE
+                    offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+                    np.cumsum(chunk_lens[nonempty][:-1], out=offsets[1:])
+                    sig = np.minimum.reduceat(H, offsets, axis=0)  # (rows⁺, P)
+                    sigr = sig.reshape(sig.shape[0], bands, rows_per_band)
+                    bv = sigr[:, :, 0].copy()
+                    for j in range(1, rows_per_band):
+                        bv *= _MIX
+                        bv += sigr[:, :, j]
+                    bv ^= _BIDX[None, :]
+                    bv *= _MIX
+                    idx = np.flatnonzero(nonempty) + start
+                    out[idx] = bv.astype(np.int64)
+                start = end
         return pd.Series(list(out))
 
     return bands_of

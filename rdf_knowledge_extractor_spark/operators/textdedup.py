@@ -158,27 +158,36 @@ def _simhash_from_hashes(hashed: pd.Series) -> pd.Series:
     via `np.add.reduceat`, sign → packed signed int64.  Gram hashing
     happens JVM-side (`xxhash64` in a `transform`), so no per-gram
     Python work remains (round-1 verdict fix)."""
-    lengths = np.fromiter((len(x) if x is not None else 0 for x in hashed), dtype=np.int64)
+    vals = hashed.tolist()
+    lengths = np.fromiter((len(x) if x is not None else 0 for x in vals), dtype=np.int64)
     n_rows = len(lengths)
     if n_rows == 0:
         return pd.Series([], dtype="int64")
-    nonempty = lengths > 0
     out = np.zeros(n_rows, dtype=np.uint64)
-    if nonempty.any():
-        flat = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in hashed if x is not None and len(x)]
-        ).astype(np.uint64)
-        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int32
-        )
-        pm = 2 * bits - 1  # ±1 per bit
-        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-        acc = np.add.reduceat(pm, offsets, axis=0)  # (rows⁺, 64)
-        packed = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        out[nonempty] = packed
+    bitcols = np.arange(64, dtype=np.uint64)[None, :]
+    # chunk by shingle budget — bounds the (ΣS × 64) bit matrix per
+    # python worker (many run concurrently; see linking.bands_of)
+    CHUNK = 100_000
+    start = 0
+    while start < n_rows:
+        end, budget = start, 0
+        while end < n_rows and (budget == 0 or budget + lengths[end] <= CHUNK):
+            budget += lengths[end]
+            end += 1
+        chunk_lens = lengths[start:end]
+        nonempty = chunk_lens > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(vals[i], dtype=np.int64) for i in range(start, end) if lengths[i]]
+            ).astype(np.uint64)
+            bits = ((flat[:, None] >> bitcols) & np.uint64(1)).astype(np.int32)
+            pm = 2 * bits - 1  # ±1 per bit
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(chunk_lens[nonempty][:-1], out=offsets[1:])
+            acc = np.add.reduceat(pm, offsets, axis=0)  # (rows⁺, 64)
+            packed = ((acc > 0).astype(np.uint64) << bitcols).sum(axis=1, dtype=np.uint64)
+            out[np.flatnonzero(nonempty) + start] = packed
+        start = end
     return pd.Series(out.astype(np.int64), dtype="int64")
 
 
