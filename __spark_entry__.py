@@ -351,6 +351,18 @@ def q_ann_lsh_topk(spark, sf):
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF (inverted-file) approximate top-k — the second scale path
+    beside sign-LSH; approximate by design (recall pinned vs
+    brute-force in tests), registered rows-only."""
+    from rdf_knowledge_extractor_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf)
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_centroids=16, nprobe=4
+    )
+
+
 def q_text_langid(spark, sf):
     from rdf_knowledge_extractor_spark.functions.text_analysis import detect_language
 
@@ -492,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,

@@ -192,6 +192,103 @@ def cosine_pairs_bucketed(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 5,
+    sample: int = 2048,
+    seed: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids from a DETERMINISTIC sample
+    (ordered by id — no nondeterministic sampling), trained driver-side
+    with numpy Lloyd iterations.  Centroids are (n_centroids × dim)
+    floats — kilobytes — so driver training + closure broadcast is the
+    right topology even at 10^12 corpus rows (the sample, not the
+    corpus, bounds the work; production would sample per-partition)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _ivf_cells_udf(cents: np.ndarray, nprobe: int):
+    """array<float> → array<int> of the `nprobe` nearest centroid ids
+    (batch-vectorized; nprobe=1 for corpus assignment)."""
+    C = cents.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        sims = M @ C.T  # (N, n_centroids)
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cells_of
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows partition into centroid cells
+    (inverted file); each query probes its `nprobe` nearest cells and
+    exact-reranks only those candidates.
+
+    Scale shape: candidate volume ≈ corpus × nprobe / n_centroids per
+    query — at 10^9 vectors with 4096 cells and nprobe 64 that is a
+    64× reduction with recall tunable via nprobe (recall-vs-bruteforce
+    pinned in tests).  The cell column doubles as the natural partition
+    key for a materialized index table."""
+    cents = train_ivf_centroids(
+        corpus, dim, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    assign1 = _ivf_cells_udf(cents, 1)
+    probe = _ivf_cells_udf(cents, nprobe)
+    c_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cands = (
+        q_cells.join(c_cells, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -80,3 +80,38 @@ def test_lsh_params_scale_with_threshold():
     p_high, t_high = lsh_params_for_threshold(0.9)
     assert p_high > p_low  # high thresholds afford finer buckets
     assert t_high < t_low  # and need fewer tables
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF (centroid cells + nprobe) recall against exact top-k on
+    clustered data; full-probe IVF must equal brute force exactly."""
+    import numpy as np
+
+    from rdf_knowledge_extractor_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 16, 8, 40
+    centers = rng.normal(size=(n_clusters, dim)) * 3
+    rows = []
+    for i in range(n_clusters * per):
+        v = centers[i % n_clusters] + rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    queries = emb.filter("vec_id < 8")
+
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    approx = ivf_cosine_topk(emb, queries, dim=dim, k=5, n_centroids=8, nprobe=3)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+    # probing every cell makes IVF exhaustive → identical to brute force
+    full = ivf_cosine_topk(emb, queries, dim=dim, k=5, n_centroids=8, nprobe=8)
+    full_rows = {(r.query_id, r.neighbor_id, r.sim) for r in full.collect()}
+    exact_rows = {(r.query_id, r.neighbor_id, r.sim) for r in exact.collect()}
+    assert full_rows == exact_rows
