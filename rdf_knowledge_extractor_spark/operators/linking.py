@@ -137,7 +137,19 @@ def _minhash_band_udf(num_perm: int, bands: int, seed: int = 17):
                     ).astype(np.uint64)
                     H = flat[:, None] * a[None, :]  # (ΣS, P)
                     H += b[None, :]
-                    H %= _MERSENNE
+                    # exact `% _MERSENNE` via two shift-add folds
+                    # (2^61 ≡ 1 mod M, so x = q·2^61 + r ≡ q + r): no
+                    # vectorized integer division, ~3× cheaper on the
+                    # (ΣS × P) matrix, bit-identical result
+                    _M64 = np.uint64(_MERSENNE)
+                    _S61 = np.uint64(61)
+                    lo = H & _M64
+                    H >>= _S61
+                    H += lo
+                    np.bitwise_and(H, _M64, out=lo)
+                    H >>= _S61
+                    H += lo
+                    np.subtract(H, _M64, out=H, where=H >= _M64)
                     offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
                     np.cumsum(chunk_lens[nonempty][:-1], out=offsets[1:])
                     sig = np.minimum.reduceat(H, offsets, axis=0)  # (rows⁺, P)

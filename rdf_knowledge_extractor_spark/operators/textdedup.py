@@ -33,9 +33,35 @@ from rdf_knowledge_extractor_spark.operators.linking import (
 )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition tiny inputs up to the cluster's default parallelism.
+
+    A small corpus often arrives as a single parquet split (one task),
+    which would serialize every downstream sketch UDF.  At scale the
+    input already has ≥ defaultParallelism splits and this is a no-op —
+    no extra shuffle on the 100-TB path."""
+    sc = docs.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < p:
+        return docs.repartition(p)
+    return docs
+
+
 def _with_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("shingles")
+    )
+
+
+def _with_hashed_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, h: array<long>) — distinct sorted xxhash64 of each char
+    k-gram.  All JVM-side; downstream set ops (Jaccard verify) and the
+    sketch UDFs consume int64 arrays, never strings."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(shingle_hash_col(char_shingles(F.col(text_col), k)))
+        ).alias("h"),
     )
 
 
@@ -60,7 +86,7 @@ def ngram_jaccard_pairs(
     the full shingle arrays of surviving candidates.
     """
     sh = (
-        _with_shingles(docs, id_col, text_col, k)
+        _with_shingles(_spread(docs), id_col, text_col, k)
         .withColumn("shingles", F.array_sort("shingles"))
         .persist()
     )
@@ -123,12 +149,22 @@ def minhash_lsh_pairs(
     p = 1-(1-J⁴)^16 ≥ 0.9998; at the J ≥ 0.9 typical of real web
     near-dups, miss probability < 1e-7.  The verified output therefore
     equals the exact pairwise answer without materializing O(n²).
+
+    Only HASHED shingles (int64) ever leave the scan stage: Jaccard on
+    the distinct-hash arrays equals string-shingle Jaccard up to an
+    xxhash64 collision inside one pair's union (p ≈ |A||B|·2⁻⁶⁴), and
+    both the verify set-ops and the Arrow transfer into the sketch UDF
+    run ~3× cheaper than on 9-char strings.
     """
-    sh = _with_shingles(docs, id_col, text_col, k).persist()
+    sh = _with_hashed_shingles(_spread(docs), id_col, text_col, k).persist()
     bands_of = _minhash_band_udf(num_perm, bands)
-    bucketed = sh.withColumn(
-        "_bands", bands_of(shingle_hash_col(F.col("shingles")))
-    ).select("id", F.posexplode("_bands").alias("band_idx", "band_val"))
+    # persist the banded table: the candidate self-join reads it twice,
+    # which would otherwise run the sketch UDF twice over the corpus
+    bucketed = (
+        sh.withColumn("_bands", bands_of(F.col("h")))
+        .select("id", F.posexplode("_bands").alias("band_idx", "band_val"))
+        .persist()
+    )
     left = bucketed.select(F.col("id").alias("id_a"), "band_idx", "band_val")
     right = bucketed.select(F.col("id").alias("id_b"), "band_idx", "band_val")
     cands = (
@@ -137,9 +173,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
     out = (
         cands.join(a, on="id_a")
         .join(b, on="id_b")
@@ -206,7 +242,7 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sigs = docs.select(
+    sigs = _spread(docs).select(
         F.col(id_col).alias("id"),
         _simhash_from_hashes(
             shingle_hash_col(char_shingles(F.col(text_col), k))
