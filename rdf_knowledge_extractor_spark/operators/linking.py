@@ -283,7 +283,16 @@ def link_entities(
     counts with no manual sizing.
     """
     universe = entity_universe(triples)
-    ent = with_canonical_key(universe).persist()
+    # localCheckpoint (not persist): the entity table is the root of
+    # every downstream linking plan (key tier, LSH, verify, CC rounds,
+    # final mapping join).  persist() caches DATA but keeps the full
+    # upstream logical plan (scan → extract UDF → merge), and the
+    # single-threaded driver re-ANALYZES that deep tree on every one of
+    # the ~dozen actions this stage runs — measured at multiple seconds
+    # per action at bench scale.  Checkpointing truncates the lineage
+    # so each action analyzes a flat plan; the lost fault-tolerance is
+    # one recomputable stage, the same trade the CC loop already makes.
+    ent = with_canonical_key(universe).localCheckpoint(eager=True)
 
     # tier 1: key group → min-URI representative
     key_rep = ent.groupBy("key").agg(F.min("uri").alias("rep"))
@@ -314,6 +323,5 @@ def link_entities(
         )
     )
     mapping = ent.join(rep_canon, on="key").select("uri", "canonical")
-    ent.unpersist()
     reps.unpersist()
     return mapping
