@@ -400,6 +400,34 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_corpus_sample(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.curation import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf), rate=0.25).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_corpus_quota(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.curation import quota_per_group
+
+    return quota_per_group(_docs(spark, sf), group_col="source", k=5).select(
+        "doc_id", "source"
+    )
+
+
+def q_corpus_curate(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf), lang="en", min_words=10)
+
+
+def q_corpus_top_terms(spark, sf):
+    from rdf_knowledge_extractor_spark.operators.curation import top_terms
+
+    return top_terms(_docs(spark, sf), k=100, min_count=2)
+
+
 def q_multimodal_features(spark, sf):
     from rdf_knowledge_extractor_spark.functions.multimodal import (
         documents_as_media,
@@ -509,6 +537,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "corpus_sample": q_corpus_sample,
+        "corpus_quota": q_corpus_quota,
+        "corpus_curate": q_corpus_curate,
+        "corpus_top_terms": q_corpus_top_terms,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -880,6 +912,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "corpus_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        """,
+        "corpus_quota": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rn
+              FROM documents) WHERE rn <= 5
+        """,
+        "corpus_top_terms": r"""
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents)
+            WHERE length(term) > 0
+            GROUP BY term HAVING count(*) >= 2
+            ORDER BY cnt DESC, term ASC LIMIT 100
+        """,
         "multimodal_features": """
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -926,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
     }
     # text_quality shares the word/stopword arithmetic — built separately
     qm["text_quality"] = _text_quality_sql()
+    qm["corpus_curate"] = _curate_sql()
     # minhash-LSH verified output equals the exact-Jaccard answer
     # (candidate recall ≈ 1 - 1e-35 at J ≥ 0.9 with 32 bands × 2 rows)
     qm["dedup_minhash_lsh"] = qm["dedup_ngram_jaccard"]
@@ -937,14 +989,15 @@ def oracle_sql() -> dict[str, str]:
     return qm
 
 
-def _text_quality_sql() -> str:
+def _quality_ctes(relation: str = "documents") -> str:
+    """`base AS (…), m AS (…)` CTE fragment computing the quality
+    metrics over `relation` — composable into larger WITH lists."""
     stop = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
     occ = lambda m: (
         f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {m} ', ''))) / {len(m) + 2} AS BIGINT)"
     )
     stop_hits = " + ".join(occ(w) for w in stop)
-    return rf"""
-        WITH base AS (
+    return rf"""base AS (
           SELECT doc_id, text,
             length(text) AS n_chars,
             CAST(CASE WHEN trim(text) = '' THEN 0
@@ -952,7 +1005,7 @@ def _text_quality_sql() -> str:
             CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) AS n_spaces,
             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
             ({stop_hits}) AS stop_hits
-          FROM documents
+          FROM {relation}
         ),
         m AS (
           SELECT doc_id, n_words,
@@ -960,10 +1013,56 @@ def _text_quality_sql() -> str:
             round(CASE WHEN n_chars > 0 THEN digits * 1.0 / n_chars ELSE 0.0 END, 4) AS digit_ratio,
             round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0.0 END, 4) AS stop_ratio
           FROM base
-        )
+        )"""
+
+
+_QUALITY_SELECT = """
         SELECT doc_id, n_words, avg_word_len, digit_ratio, stop_ratio,
           round(least(1.0, stop_ratio * 2)
                 * CASE WHEN avg_word_len >= 2 AND avg_word_len <= 12 THEN 1.0 ELSE 0.5 END
                 * (1.0 - digit_ratio), 4) AS quality_score
         FROM m
+"""
+
+
+def _text_quality_sql(relation: str = "documents") -> str:
+    return f"WITH {_quality_ctes(relation)}{_QUALITY_SELECT}"
+
+
+def _lang_pred_case() -> str:
+    return (
+        "CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+        "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
+        "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' "
+        "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' "
+        "ELSE 'es' END"
+    )
+
+
+def _curate_sql(
+    lang: str = "en",
+    min_words: int = 10,
+    max_digit_ratio: float = 0.3,
+    min_quality: float = 0.3,
+) -> str:
+    """Oracle for `curate_corpus`: dedup keep-first → quality metrics +
+    predicted language over the deduped set → composite filter."""
+    return f"""
+        WITH dd AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+        ),
+        {_quality_ctes("dd")},
+        q AS ({_QUALITY_SELECT.strip()}),
+        l AS (
+          SELECT doc_id, {_lang_pred_case()} AS lang_pred
+          FROM (SELECT doc_id, {_lang_scores_sql()} FROM dd)
+        )
+        SELECT q.doc_id, l.lang_pred, q.n_words, q.quality_score
+        FROM q JOIN l ON q.doc_id = l.doc_id
+        WHERE l.lang_pred = '{lang}' AND q.n_words >= {min_words}
+          AND q.digit_ratio <= {max_digit_ratio}
+          AND q.quality_score >= {min_quality}
     """

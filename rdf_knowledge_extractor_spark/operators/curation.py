@@ -1,0 +1,146 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The selection half of a web-scale data pipeline (the dedup half lives
+in operators/textdedup.py): deterministic sampling, per-source quota
+capping, a composite quality gate, and vocabulary extraction.  Every
+operator is pure Catalyst (whole-stage codegen, no Python) and has an
+exact ANSI-SQL equivalent used as its DuckDB oracle in
+`__spark_entry__.py`.
+
+Scale notes (100 TB):
+
+- `deterministic_sample` is a stateless per-row predicate — narrow,
+  no shuffle, evaluated at scan speed, and reproducible across
+  engines/runs (the selection is a pure function of the id).
+- `quota_per_group` uses the rank≤k window idiom, which Spark compiles
+  to `WindowGroupLimit` (partial top-k BEFORE the shuffle since 3.5):
+  a hot source never ships more than k rows per map task, so the
+  classic crawl-frequency skew (one domain = 10% of the crawl) is
+  bounded at the map side, not salted after the fact.
+- `dedup_keep_first` is the same idiom partitioned by content
+  fingerprint (rank≤1 ⇒ map-side single-survivor per partition).
+- `top_terms`' groupBy(term) benefits from map-side partial
+  aggregation; the final global top-k is a TakeOrderedAndProject
+  (no full sort of the term table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rdf_knowledge_extractor_spark.functions.text_analysis import (
+    detect_language,
+    quality_metrics,
+)
+
+
+def _hash_hex8(col: Column) -> Column:
+    """First 8 lowercase hex chars of md5 — an engine-portable uniform
+    32-bit priority (DuckDB's md5 produces the identical string, so
+    oracle selections match byte-for-byte)."""
+    return F.substring(F.md5(col.cast("string")), 1, 8)
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """Lexicographic hex threshold for `deterministic_sample`:
+    keep iff hash_hex8(id) < format(floor(rate·2³²), '08x')."""
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def deterministic_sample(
+    docs: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reproducible Bernoulli sample: keep iff the md5-derived 32-bit
+    priority of the id falls below rate·2³².  Lexicographic compare of
+    fixed-width lowercase hex == numeric compare, so the predicate is
+    portable to any engine with md5()."""
+    return docs.filter(
+        _hash_hex8(F.col(id_col)) < F.lit(sample_threshold_hex(rate))
+    )
+
+
+def quota_per_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most k docs per group, chosen by uniform deterministic
+    priority (md5 of the id; ties broken by id).  rank≤k compiles to
+    WindowGroupLimit — map-side partial top-k, see module notes."""
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_hex8(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def dedup_keep_first(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-content dedup keeping the smallest id per fingerprint
+    (rank≤1 over md5(text) ⇒ map-side single survivor per group)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_words: int = 10,
+    max_digit_ratio: float = 0.3,
+    min_quality: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite training-data gate: exact dedup (keep-first) →
+    predicted-language filter → length / digit-ratio / quality-score
+    thresholds.  Returns (id, lang_pred, n_words, quality_score) —
+    the manifest a downstream tokenizer job would consume.
+
+    Single pipeline of narrow ops + one WindowGroupLimit shuffle (the
+    dedup); all metrics are computed in the same scan stage."""
+    deduped = dedup_keep_first(docs, text_col=text_col, id_col=id_col)
+    scored = quality_metrics(deduped, text_col=text_col).withColumn(
+        "lang_pred", detect_language(F.col(text_col))
+    )
+    return (
+        scored.filter(
+            (F.col("lang_pred") == lang)
+            & (F.col("n_words") >= min_words)
+            & (F.col("digit_ratio") <= max_digit_ratio)
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select(id_col, "lang_pred", "n_words", "quality_score")
+    )
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 100,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k vocabulary: (term, cnt), count desc / term asc.
+
+    explode(split) → hash-agg with map-side partial combine → global
+    top-k via orderBy+limit (TakeOrderedAndProject, never a full
+    sort of the vocabulary)."""
+    terms = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    ).filter(F.length("term") > 0)
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(k)
+    )
