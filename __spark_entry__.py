@@ -896,12 +896,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_langid": f"""
             WITH s AS (SELECT doc_id, {_lang_scores_sql()} FROM documents)
-            SELECT doc_id,
-              CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                   WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                   WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                   WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                   ELSE 'es' END AS lang_detected
+            SELECT doc_id, {_lang_pred_case()} AS lang_detected
             FROM s
         """,
         "text_tokens": r"""

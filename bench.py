@@ -32,8 +32,11 @@ def _warm_up(spark, cpus: int) -> None:
     cost a steady-state benchmark should exclude.  The warm-up runs on
     synthetic `spark.range` data and shares NO input data, logical
     plans, or cache entries with the timed queries below; every query
-    still pays its own Catalyst analysis and whole-stage codegen."""
-    import pandas as pd  # noqa: F401 — resolved by UDF type hints
+    still pays its own Catalyst analysis and whole-stage codegen.
+
+    NOTE: the module-level `import pandas as pd` is load-bearing — the
+    pandas_udf string annotations below resolve against module globals
+    (PEP 563 via `from __future__ import annotations`)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

@@ -44,8 +44,10 @@ def _hash_hex8(col: Column) -> Column:
 
 def sample_threshold_hex(rate: float) -> str:
     """Lexicographic hex threshold for `deterministic_sample`:
-    keep iff hash_hex8(id) < format(floor(rate·2³²), '08x')."""
-    return format(int(rate * (1 << 32)), "08x")
+    keep iff hash_hex8(id) < format(floor(rate·2³²), '08x').
+    Clamped to 8 hex chars — a 9-char '100000000' (rate ≥ 1) would
+    break the fixed-width lexicographic-compare invariant ('f' > '1')."""
+    return format(min(max(int(rate * (1 << 32)), 0), (1 << 32) - 1), "08x")
 
 
 def deterministic_sample(
@@ -55,6 +57,8 @@ def deterministic_sample(
     priority of the id falls below rate·2³².  Lexicographic compare of
     fixed-width lowercase hex == numeric compare, so the predicate is
     portable to any engine with md5()."""
+    if rate >= 1.0:
+        return docs
     return docs.filter(
         _hash_hex8(F.col(id_col)) < F.lit(sample_threshold_hex(rate))
     )

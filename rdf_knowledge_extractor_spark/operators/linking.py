@@ -290,8 +290,14 @@ def link_entities(
     # single-threaded driver re-ANALYZES that deep tree on every one of
     # the ~dozen actions this stage runs — measured at multiple seconds
     # per action at bench scale.  Checkpointing truncates the lineage
-    # so each action analyzes a flat plan; the lost fault-tolerance is
-    # one recomputable stage, the same trade the CC loop already makes.
+    # so each action analyzes a flat plan.  Trade-offs, accepted: (a)
+    # truncated lineage is NOT recomputable — executor/block loss fails
+    # the job, and the enclosing stage is re-run from the pipeline's
+    # durable stage checkpoint (plans/pipeline.py resume), the same
+    # trade the CC loop makes; (b) checkpoint blocks are freed when the
+    # driver GCs the RDD, not by clearCache() — long-lived sessions
+    # calling link_entities repeatedly release them via normal GC of
+    # the returned mapping's references.
     ent = with_canonical_key(universe).localCheckpoint(eager=True)
 
     # tier 1: key group → min-URI representative

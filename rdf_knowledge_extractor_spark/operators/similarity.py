@@ -210,6 +210,8 @@ def train_ivf_centroids(
     corpus, bounds the work; production would sample per-partition)."""
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if X.shape[1] != dim:
+        raise ValueError(f"embedding width {X.shape[1]} != declared dim {dim}")
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
@@ -274,11 +276,15 @@ def ivf_cosine_topk(
         F.col(vec_col).alias("q_vec"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
+    # no dedup needed (unlike lsh_cosine_topk's multi-table collisions):
+    # each corpus row lives in exactly one cell and a query's probed
+    # cells are distinct, so every (query, neighbor) pair arises at
+    # most once — a dropDuplicates here would shuffle the largest
+    # intermediate of the operator for zero effect
     cands = (
         q_cells.join(c_cells, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())

@@ -16,6 +16,13 @@ Four strategies over a corpus DataFrame(id, text):
                      candidate pairs via the pigeonhole block trick
                      (4 × 16-bit chunks ⇒ guaranteed recall for
                      hamming ≤ 3), verified with exact hamming.
+
+Cache contract: these operators persist() their shingle/sketch
+intermediates because the returned (lazy) DataFrame reads them on
+multiple join branches — the caches live until the caller evaluates
+the result and releases them (`spark.catalog.clearCache()` or
+`unpersist()` on a retained reference).  A service deduping many
+corpora in one session should clear between corpora (bench.py does).
 """
 
 from __future__ import annotations
@@ -34,14 +41,24 @@ from rdf_knowledge_extractor_spark.operators.linking import (
 
 
 def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition tiny inputs up to the cluster's default parallelism.
+    """Repartition tiny SCAN-SHAPED inputs up to default parallelism.
 
     A small corpus often arrives as a single parquet split (one task),
     which would serialize every downstream sketch UDF.  At scale the
     input already has ≥ defaultParallelism splits and this is a no-op —
-    no extra shuffle on the 100-TB path."""
+    no extra shuffle on the 100-TB path.
+
+    Guard: `.rdd.getNumPartitions()` is only consulted when the
+    physical plan contains no Exchange.  Under AQE, `.rdd` on an
+    exchange-bearing plan eagerly materializes every upstream query
+    stage (getFinalPhysicalPlan) — and a plan that already shuffles
+    produces shuffle.partitions-sized output anyway, so spreading
+    would be redundant there."""
     sc = docs.sparkSession.sparkContext
     p = sc.defaultParallelism
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return docs
     if docs.rdd.getNumPartitions() < p:
         return docs.repartition(p)
     return docs

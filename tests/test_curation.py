@@ -61,6 +61,29 @@ def test_sample_is_stable_and_monotone(docs):
     assert s1 <= s_big  # same hash rule ⇒ nested samples
 
 
+def test_sample_rate_boundaries(docs):
+    # rate ≥ 1 keeps everything (a naive 9-char hex threshold would
+    # lexicographically drop ~94%); rate 0 keeps nothing
+    assert deterministic_sample(docs, 1.0).count() == 40
+    assert deterministic_sample(docs, 1.5).count() == 40
+    assert deterministic_sample(docs, 0.0).count() == 0
+    assert len(sample_threshold_hex(1.0)) == 8
+
+
+def test_spread_skips_exchange_bearing_plans(docs, spark):
+    # operators accept derived inputs: an aggregated DF's plan contains
+    # an Exchange — _spread must not touch .rdd there (under AQE that
+    # would eagerly run every upstream stage)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    derived = docs.groupBy("source").agg(
+        F.first("text").alias("text"), F.min("doc_id").alias("doc_id")
+    )
+    assert _spread(derived) is derived
+    scan = spark.createDataFrame([(1, "x")], "doc_id long, text string").coalesce(1)
+    assert _spread(scan).rdd.getNumPartitions() >= scan.rdd.getNumPartitions()
+
+
 def test_quota_caps_every_group(docs):
     out = quota_per_group(docs, group_col="source", k=4)
     sizes = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
