@@ -237,9 +237,45 @@ class StubLlmClient:
             return f"```\n{{\"triples\": {body}}}\n```"
         return body
 
+    def _populate_template(self, prompt: str) -> str:
+        """Deterministic stand-in for LLM template population
+        (ref:src/templates/llm_population.rs — the reference sends the
+        same prompt to a live model).  Fills `[FIELD: …]` placeholders
+        from the prompt's "## Extracted Data" rows by key/label word
+        overlap, resolves `[DROPDOWN: a | b]` to the first option and
+        the remaining widget placeholders to TBD — so the demo emits a
+        complete report offline and the population path is exercised
+        end-to-end."""
+        tpl_start = prompt.find("## Template to Populate")
+        data_start = prompt.find("## Extracted Data")
+        template = prompt[tpl_start + len("## Template to Populate"): data_start]
+        data_sec = prompt[data_start:]
+        pool: dict[str, str] = {}
+        for line in data_sec.splitlines():
+            s = line.strip()
+            if s.startswith("- ") and ": " in s:
+                k, _, v = s[2:].partition(": ")
+                pool.setdefault(k.strip().lower(), v.strip())
+
+        def fill_field(m: "re.Match[str]") -> str:
+            label_words = set(re.findall(r"[a-z]+", m.group(1).lower()))
+            for key, value in pool.items():
+                key_words = set(re.findall(r"[a-z]+", key))
+                if key_words & label_words:
+                    return value
+            return "Not Available"
+
+        out = re.sub(r"\[FIELD:\s*([^\]]+)\]", fill_field, template)
+        out = re.sub(r"\[DROPDOWN:\s*([^|\]]+)(?:\|[^\]]*)?\]", lambda m: m.group(1).strip(), out)
+        out = re.sub(r"\[(?:DATE FIELD|TEXT AREA[^\]]*|CHECKLIST[^\]]*)\]", "TBD", out)
+        return out.strip() + "\n"
+
     def generate_structured_batch(self, prompts, system_prompt=None):
         out = []
         for prompt in prompts:
+            if "## Template to Populate" in prompt and "## Extracted Data" in prompt:
+                out.append(self._populate_template(prompt))
+                continue
             m = _DOC_RE.search(prompt)
             doc_text = m.group(1) if m else prompt
             facts = self._extract_facts(doc_text)

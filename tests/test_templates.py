@@ -203,6 +203,27 @@ def test_population_prompt_shape(graph):
     assert prompt.rstrip().endswith("Make the report professional and actionable.")
 
 
+def test_stub_population_fills_placeholders(graph):
+    from rdf_knowledge_extractor_spark.functions.llm import StubLlmClient
+
+    mgr = TemplateManager(
+        graph,
+        llm_client=StubLlmClient("http://e.org/r/", "http://e.org/o#"),
+    )
+    prompt = mgr.build_population_prompt(
+        "### [FIELD: Company Name]\nScore: [FIELD: Score]/100\n"
+        "Industry: [FIELD: Industry Type]\n"
+        "Contact: [DROPDOWN: LinkedIn | Email]\nLast: [DATE FIELD]",
+        {"q1": [{"name": "Acme", "score": 90}]},
+    )
+    out = mgr.llm_client.generate_structured_batch([prompt], None)[0]
+    assert "[FIELD:" not in out and "[DROPDOWN:" not in out and "[DATE FIELD]" not in out
+    assert "Acme" in out  # 'name' key matched the Company Name label
+    assert "90" in out  # 'score' key matched the Score label
+    assert "Not Available" in out  # no datum for Industry Type
+    assert "LinkedIn" in out  # first dropdown option
+
+
 def test_load_reference_template():
     t = load_template("/root/reference/templates/sales_target_companies.yaml")
     assert t.id == "sales_target_companies"
