@@ -120,3 +120,49 @@ def streaming_hourly_counts(pages_stream: DataFrame, watermark: str = "1 hour") 
         .agg(F.count(F.lit(1)).alias("n_pages"))
         .select(F.col("w.start").alias("hour"), "lang", "n_pages")
     )
+
+
+def streaming_curate(
+    docs_stream: DataFrame,
+    lang: str = "en",
+    min_words: int = 10,
+    max_digit_ratio: float = 0.3,
+    min_quality: float = 0.3,
+    watermark: str | None = None,
+    ts_col: str = "ingest_ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming variant of `operators.curation.curate_corpus`.
+
+    The metric/filter tier is the IDENTICAL stateless Catalyst
+    expressions as the batch operator (quality metrics, language
+    argmax, thresholds) — they apply to a streaming DataFrame
+    unchanged.  The exact-dedup tier becomes streaming
+    `dropDuplicates` on the content fingerprint, whose semantics
+    differ from batch by design: batch keeps the MIN id per duplicate
+    group (a total order exists); a stream keeps the FIRST ARRIVAL
+    (the only order a stream has).  Pass `watermark` + an event-time
+    `ts_col` to bound the dedup state (`dropDuplicatesWithinWatermark`
+    semantics); without it state grows with the distinct-fingerprint
+    count, which is the documented trade for exact global dedup on an
+    unbounded stream.
+    """
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        detect_language,
+        quality_metrics,
+    )
+
+    s = docs_stream
+    if watermark is not None:
+        s = s.withWatermark(ts_col, watermark)
+    s = s.withColumn("_fp", F.md5(F.col(text_col))).dropDuplicates(["_fp"])
+    scored = quality_metrics(s, text_col=text_col).withColumn(
+        "lang_pred", detect_language(F.col(text_col))
+    )
+    return scored.filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("n_words") >= min_words)
+        & (F.col("digit_ratio") <= max_digit_ratio)
+        & (F.col("quality_score") >= min_quality)
+    ).select(id_col, "lang_pred", "n_words", "quality_score")

@@ -127,3 +127,54 @@ def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
     assert (1, 3, 30.0) in got
     assert (1, 2, 20.0) in got
     assert (2, 1, 5.0) in got
+
+
+def test_streaming_curate_matches_batch(spark, tmp_path):
+    """The streaming curation gate = batch curate_corpus on the same
+    data (unique texts ⇒ the keep-first/keep-min dedup difference is
+    moot), and streaming dedup drops a duplicate-content doc."""
+    from pyspark.sql import types as T
+
+    from rdf_knowledge_extractor_spark.operators.curation import curate_corpus
+    from rdf_knowledge_extractor_spark.streaming.ingest import streaming_curate
+
+    en = (
+        "the cat and the dog sat on the mat and looked at the sun of a day "
+        "for a while in the park with a friend and the bird is on the tree"
+    )
+    rows = [(i, en + f" tail{i}", "src0") for i in range(8)]
+    rows.append((100, en + " tail0", "src0"))  # exact dup of doc 0's text
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    in_dir = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(in_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = streaming_curate(stream, lang="en", min_words=10)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.lang_pred, r.n_words, r.quality_score)
+        for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.lang_pred, r.n_words, r.quality_score)
+        for r in curate_corpus(docs, lang="en", min_words=10).collect()
+    }
+    # batch keeps min(0, 100)=0 for the dup pair; the single-file
+    # stream arrives in row order so first-arrival is also doc 0
+    assert got == want
+    assert len(got) == 8
