@@ -468,6 +468,35 @@ def q_events_sessions(spark, sf):
     )
 
 
+def q_events_attribution(spark, sf):
+    """As-of join attribution: each purchase + most recent prior click."""
+    from rdf_knowledge_extractor_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    j = asof_join(purchases, clicks, on="user_id", ts_col="ts")
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; unix_micros needs LTZ — session
+        # TZ is pinned UTC so the cast is value-preserving
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        # no-match sentinels (-1 / 0.0) instead of NULL: nullable
+        # BIGINTs round-trip as NaN through the oracle's pandas frame,
+        # which the value-hash comparator cannot equate with None
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.round(F.coalesce("click_value", F.lit(0.0)), 4).alias("click_value"),
+    )
+
+
 def q_tpch_q1(spark, sf):
     li = spark.read.parquet(f"{sf}/lineitem.parquet")
     return (
@@ -544,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "events_attribution": q_events_attribution,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
     }
@@ -937,6 +967,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_attribution": """
+            SELECT l.event_id AS purchase_id, l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   COALESCE(r.event_id, -1) AS click_id,
+                   round(COALESCE(r.value, 0), 4) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_sessions": """
             WITH e AS (
