@@ -400,6 +400,29 @@ def q_text_fingerprint(spark, sf):
     )
 
 
+def q_text_quality_percentiles(spark, sf):
+    """Per-predicted-language quality-score distribution (n, p50/p90/p99).
+
+    Exact `percentile` here so the DuckDB `quantile_cont` oracle can
+    hash-match (identical linear interpolation); the 100-TB path swaps
+    in `approx_percentile` (t-digest, constant memory per group) —
+    exact per-group percentile buffers the group's values."""
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        detect_language,
+        quality_metrics,
+    )
+
+    scored = quality_metrics(_docs(spark, sf)).withColumn(
+        "lang_pred", detect_language(F.col("text"))
+    )
+    return scored.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("quality_score", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("quality_score", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("quality_score", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
 def q_corpus_sample(spark, sf):
     from rdf_knowledge_extractor_spark.operators.curation import deterministic_sample
 
@@ -566,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_quality_percentiles": q_text_quality_percentiles,
         "corpus_sample": q_corpus_sample,
         "corpus_quota": q_corpus_quota,
         "corpus_curate": q_corpus_curate,
@@ -1012,6 +1036,20 @@ def oracle_sql() -> dict[str, str]:
     # text_quality shares the word/stopword arithmetic — built separately
     qm["text_quality"] = _text_quality_sql()
     qm["corpus_curate"] = _curate_sql()
+    qm["text_quality_percentiles"] = f"""
+        WITH {_quality_ctes("documents")},
+        q AS ({_QUALITY_SELECT.strip()}),
+        l AS (
+          SELECT doc_id, {_lang_pred_case()} AS lang_pred
+          FROM (SELECT doc_id, {_lang_scores_sql()} FROM documents)
+        )
+        SELECT l.lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+               round(quantile_cont(q.quality_score, 0.5), 4) AS p50,
+               round(quantile_cont(q.quality_score, 0.9), 4) AS p90,
+               round(quantile_cont(q.quality_score, 0.99), 4) AS p99
+        FROM q JOIN l ON q.doc_id = l.doc_id
+        GROUP BY l.lang_pred
+    """
     # minhash-LSH verified output equals the exact-Jaccard answer
     # (candidate recall ≈ 1 - 1e-35 at J ≥ 0.9 with 32 bands × 2 rows)
     qm["dedup_minhash_lsh"] = qm["dedup_ngram_jaccard"]
