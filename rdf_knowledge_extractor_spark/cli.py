@@ -486,7 +486,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except Exception as e:  # one-line operator-facing error, like the
+        # reference's anyhow::Error display (ref:src/main.rs main's `?`)
+        msg = str(e).strip().splitlines()[0] if str(e).strip() else repr(e)
+        print(f"Error: {msg}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
