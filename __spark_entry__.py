@@ -423,6 +423,27 @@ def q_text_quality_percentiles(spark, sf):
     )
 
 
+def q_docs_rollup(spark, sf):
+    """ROLLUP(lang, source): per-(lang, source) doc counts + char sums
+    with lang-level and grand totals in one pass — Catalyst expands
+    grouping sets into a single shuffle with map-side partial
+    aggregation (no N-pass union of aggregates)."""
+    return (
+        _docs(spark, sf)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+
+
 def q_corpus_sample(spark, sf):
     from rdf_knowledge_extractor_spark.operators.curation import deterministic_sample
 
@@ -590,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_quality_percentiles": q_text_quality_percentiles,
+        "docs_rollup": q_docs_rollup,
         "corpus_sample": q_corpus_sample,
         "corpus_quota": q_corpus_quota,
         "corpus_curate": q_corpus_curate,
@@ -961,6 +983,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "docs_rollup": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
         "corpus_sample": """
             SELECT doc_id, source, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
