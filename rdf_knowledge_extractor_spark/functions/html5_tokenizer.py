@@ -264,9 +264,15 @@ class Tokenizer:
         nxt = s[i + 1 : i + 2]
         if nxt == "/":
             c2 = s[i + 2 : i + 3]
-            if c2 == ">":  # '</>' ignored entirely
-                self.i = i + 3
-                return self.next_token()
+            if c2 == ">":  # '</>' ignored entirely; skip consecutive runs
+                # iteratively (adversarial '</>'*N pages must not recurse)
+                i += 3
+                while s.startswith("</>", i):
+                    i += 3
+                self.i = i
+                if i >= n:
+                    return ("eof",)
+                return self._data()
             if not c2:  # EOF after '</' → '</' is text
                 self.i = n
                 return ("text", "</")

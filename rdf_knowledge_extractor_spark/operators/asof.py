@@ -6,20 +6,26 @@ purchase, the most recent prior click by that user").
 
 Spark-first formulation (no range join, no Python): UNION the two
 sides with a side tag, then one window pass per key ordered by
-(ts, side) with `last(…, ignorenulls=True)` over an unbounded-
-preceding frame — the right-side payload "fills forward" onto every
-subsequent left row.  Right rows at the exact left timestamp sort
-BEFORE the left row, giving inclusive (≥) semantics that match
-DuckDB/pandas `ASOF JOIN` (the DuckDB native ASOF is this operator's
-oracle in `__spark_entry__.py`).
+(ts, side) with `last(struct, ignorenulls=True)` over an unbounded-
+preceding frame — the right-side row "fills forward" onto every
+subsequent left row.  The whole right payload travels as ONE struct so
+the matched (latest) right row is attached verbatim: NULL fields of
+the matched row stay NULL instead of inheriting stale values from
+older right rows — matching DuckDB/pandas `ASOF JOIN` semantics (the
+DuckDB native ASOF is this operator's oracle in `__spark_entry__.py`).
+Right rows at the exact left timestamp sort BEFORE the left row,
+giving inclusive (≥) semantics.
 
 Scale notes (100 TB):
 - ONE shuffle: the window's hash-partition by key + per-partition sort
   — same cost as any keyed sort, vs. the O(|L|·|R|) blow-up of the
   naive `l.ts >= r.ts` theta-join Spark would otherwise plan.
 - a hot key serializes into one window partition (windows cannot be
-  split by AQE); the standard mitigation is pre-bucketing the event
-  table by key so the sort is local (`plans/bucketing.py` pattern).
+  split by AQE).  `time_slices=S` wires the mitigation: partition the
+  window by (key, time-slice) so a monster key's history splits into S
+  parallel sorts, then patch slice boundaries with a tiny per-slice
+  carry-in aggregate (|keys|·S rows) — results are identical to the
+  unsliced plan (asserted in tests/test_asof.py hot-key test).
 - `tolerance` keeps the same plan and nulls out stale matches
   afterwards (pure projection, no extra shuffle).
 """
@@ -36,13 +42,20 @@ def asof_join(
     on: list[str] | str,
     ts_col: str = "ts",
     tolerance_sec: float | None = None,
+    time_slices: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + latest right row with
     right.ts ≤ left.ts on the same key (nulls when no prior right row,
     or none within `tolerance_sec`).
 
     Right-side non-key, non-ts columns must not collide with left
-    columns (rename on the right first) — collisions raise."""
+    columns (rename on the right first) — collisions raise.
+
+    `time_slices=S` splits each key's timeline into S uniform slices
+    (global min/max ts) so a hot key no longer serializes through one
+    window task; slice boundaries are patched with a per-(key, slice)
+    carry-in so the result is identical.  Leave None (default) for the
+    single-window plan (no join node, ≤1 Exchange)."""
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys and c != ts_col]
@@ -50,30 +63,113 @@ def asof_join(
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
 
+    # The right row travels as ONE struct (ts first, then payload) so the
+    # matched row is attached atomically — NULLs in the matched row's
+    # payload stay NULL (DuckDB/pandas ASOF semantics).
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(
         *keys,
         F.col(ts_col),
-        F.col(ts_col).alias("_r_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in r_payload],
+        F.struct(
+            F.col(ts_col).alias("_r_ts"), *[F.col(c) for c in r_payload]
+        ).alias("_r"),
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*keys)
+    if time_slices is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            merged.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+            .filter(F.col("_side") == 1)
+            .drop("_side")
+        )
+    else:
+        out = _sliced_fill(merged, keys, ts_col, int(time_slices))
+
+    if tolerance_sec is not None:
+        stale = F.col("_r").getField("_r_ts") < F.col(ts_col) - F.expr(
+            f"INTERVAL {tolerance_sec} SECONDS"
+        )
+        out = out.withColumn(
+            "_r", F.when(~F.coalesce(stale, F.lit(True)), F.col("_r"))
+        )
+
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_r").getField("_r_ts").alias("_r_ts"),
+        *[F.col("_r").getField(c).alias(c) for c in r_payload],
+    )
+
+
+def _sliced_fill(
+    merged: DataFrame, keys: list[str], ts_col: str, slices: int
+) -> DataFrame:
+    """Hot-key mitigation: window partitioned by (key, time-slice) +
+    boundary patch.
+
+    1. slice_id = uniform bucket of ts over the global [min, max] range
+       (2-scalar driver agg — one cheap job), monotone in ts.
+    2. within-slice fill-forward exactly as the unsliced plan, but the
+       window partitions by (*keys, _slice) — a hot key's history now
+       spreads over `slices` tasks.
+    3. carry-in: per (key, slice) take the LAST right-side struct
+       (max_by over right rows — map-side partial agg, |keys|·S rows),
+       then a tiny window over slices (< current) fills the struct that
+       was "live" entering each slice; join back on (key, slice) — AQE
+       broadcasts it when small, and a shuffle join on (key, slice)
+       still splits the hot key when key cardinality is huge — and
+       coalesce.
+    """
+    # TIMESTAMP_NTZ cannot cast to numeric in Spark 4; unix_micros over a
+    # timestamp cast is value-preserving under a UTC session TZ and keeps
+    # ordering for numeric ts columns too (linear transform).
+    ts_num = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    lo, hi = merged.agg(F.min(ts_num), F.max(ts_num)).first()
+    span = max((hi or 0.0) - (lo or 0.0), 1e-9)
+    sliced = merged.withColumn(
+        "_slice",
+        F.least(
+            F.lit(slices - 1),
+            F.floor((ts_num - F.lit(lo)) / F.lit(span / slices)),
+        ).cast("int"),
+    )
+
+    w_in = (
+        Window.partitionBy(*keys, "_slice")
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged
-    for c in [*r_payload, "_r_ts"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = filled.filter(F.col("_side") == 1).drop("_side")
+    filled = sliced.withColumn("_r_in", F.last("_r", ignorenulls=True).over(w_in))
 
-    if tolerance_sec is not None:
-        stale = F.col("_r_ts") < F.col(ts_col) - F.expr(
-            f"INTERVAL {tolerance_sec} SECONDS"
-        )
-        for c in [*r_payload, "_r_ts"]:
-            out = out.withColumn(c, F.when(~F.coalesce(stale, F.lit(True)), F.col(c)))
-    return out
+    # last right struct of each (key, slice): order by (ts, _side) like the
+    # window; right rows only (left rows carry a NULL struct already).
+    finals = (
+        sliced.filter(F.col("_side") == 0)
+        .groupBy(*keys, "_slice")
+        .agg(F.max_by("_r", F.struct(F.col(ts_col), F.col("_side"))).alias("_r_fin"))
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_slice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # carry-in rows must exist for slices with no right rows at all, so
+    # build the (key, slice) spine from every populated slice, then fill.
+    spine = sliced.select(*keys, "_slice").distinct()
+    carry = (
+        spine.join(finals, on=[*keys, "_slice"], how="left")
+        .withColumn("_r_carry", F.last("_r_fin", ignorenulls=True).over(w_carry))
+        .select(*keys, "_slice", "_r_carry")
+    )
+
+    return (
+        filled.join(carry, on=[*keys, "_slice"], how="left")
+        .withColumn("_r", F.coalesce("_r_in", "_r_carry"))
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_slice", "_r_in", "_r_carry")
+    )

@@ -42,11 +42,20 @@ def first_occurrence_dedup(
     (`dropDuplicates` would be nondeterministic about the survivor).
     """
     payload = [c for c in df.columns if c not in keys]
-    # nulls_last parity with the previous window form: null ordinals
-    # (error-sentinel rows) must never win over real ones
-    _MAXL = (1 << 63) - 1
+    # Order on the NATIVE column types (string/timestamp/numeric all
+    # compare correctly inside the struct); a leading is-null flag per
+    # ordinal column gives nulls-last parity with the previous window
+    # form — null ordinals (error-sentinel rows) never win over real
+    # ones, without a lossy cast-to-long (ADVICE r2).
     ordinal = F.struct(
-        *[F.coalesce(F.col(c).cast("long"), F.lit(_MAXL)).alias(c) for c in order_cols]
+        *[
+            part
+            for c in order_cols
+            for part in (
+                F.col(c).isNull().cast("int").alias(f"_isnull_{c}"),
+                F.col(c).alias(c),
+            )
+        ]
     )
     first = F.min_by(F.struct(*payload), ordinal)
     return (

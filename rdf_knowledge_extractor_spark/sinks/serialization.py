@@ -311,21 +311,38 @@ def serialize_json(df: DataFrame) -> str:
     ref:src/core/extractor.rs:13-26 — `source` skipped when null).
     Confidence is emitted in shortest-f32 form via token substitution
     (json.dumps hardwires float.__repr__, which is f64)."""
+    import secrets
+
     rows = [r.asDict() for r in _ordered_collect(df)]
+    # Sentinel carries a per-call random nonce so document-derived data
+    # can never collide with it (a literal '"@F32@…@"' in a subject/
+    # object string must NOT have its quotes stripped — ADVICE r2).
+    data_strings = "\x00".join(
+        str(v)
+        for r in rows
+        for v in (
+            r.get("subject"), r.get("predicate"), r.get("object"),
+            r.get("source"), *(r.get("metadata") or {}).items(),
+        )
+    )
+    while True:
+        nonce = secrets.token_hex(16)
+        if nonce not in data_strings:
+            break
     items = []
     for r in rows:
         d = {
             "subject": r["subject"],
             "predicate": r["predicate"],
             "object": r["object"],
-            "confidence": "@F32@" + _f32_repr(r.get("confidence", 1.0)) + "@",
+            "confidence": f"@F32:{nonce}@" + _f32_repr(r.get("confidence", 1.0)) + "@",
         }
         if r.get("source") is not None:
             d["source"] = r["source"]
         d["metadata"] = dict(r["metadata"]) if r.get("metadata") else {}
         items.append(d)
     blob = json.dumps(items, indent=2, ensure_ascii=False)
-    return re.sub(r'"@F32@([^"@]+)@"', r"\1", blob)
+    return re.sub(r'"@F32:' + nonce + r'@([^"@]+)@"', r"\1", blob)
 
 
 SERIALIZERS = {

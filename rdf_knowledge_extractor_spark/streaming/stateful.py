@@ -47,6 +47,17 @@ _STATE_SCHEMA = T.StructType(
 _US = 1_000_000
 
 
+def _utc_naive(epoch_sec: float) -> "dt.datetime":
+    """tz-aware UTC conversion, returned naive for Arrow transfer.
+
+    `utcfromtimestamp` is deprecated (3.12+); the session timezone is
+    enforced UTC by `streaming_sessions_stateful`, so naive-epoch math
+    on the pandas int64 view is exact (ADVICE r2)."""
+    return dt.datetime.fromtimestamp(epoch_sec, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
 def _session_func(gap_seconds: int):
     gap_us = gap_seconds * _US
 
@@ -58,8 +69,8 @@ def _session_func(gap_seconds: int):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [dt.datetime.utcfromtimestamp(start_us / _US)],
-                    "session_end": [dt.datetime.utcfromtimestamp(end_us / _US)],
+                    "session_start": [_utc_naive(start_us / _US)],
+                    "session_end": [_utc_naive(end_us / _US)],
                     "n_events": [n],
                     "total_value": [total],
                 }
@@ -95,10 +106,10 @@ def _session_func(gap_seconds: int):
                 {
                     "user_id": [user_id] * len(closed),
                     "session_start": [
-                        dt.datetime.utcfromtimestamp(s / _US) for s, _, _, _ in closed
+                        _utc_naive(s / _US) for s, _, _, _ in closed
                     ],
                     "session_end": [
-                        dt.datetime.utcfromtimestamp(e / _US) for _, e, _, _ in closed
+                        _utc_naive(e / _US) for _, e, _, _ in closed
                     ],
                     "n_events": [c for _, _, c, _ in closed],
                     "total_value": [tv for _, _, _, tv in closed],
@@ -115,7 +126,19 @@ def streaming_sessions_stateful(
 
     Sessions close when event-time watermark passes `gap_seconds`
     beyond the session's last event (EventTimeTimeout), or inline when
-    a later event in the same key exceeds the gap."""
+    a later event in the same key exceeds the gap.
+
+    Requires a UTC session timezone: the state function's epoch math
+    reads tz-naive pandas timestamps as UTC; under any other
+    `spark.sql.session.timeZone` the timeout timestamp would shift by
+    the UTC offset (sessions closing hours early/late)."""
+    tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            "streaming_sessions_stateful requires spark.sql.session.timeZone"
+            f"=UTC (got {tz!r}): stateful epoch math assumes UTC-naive "
+            "timestamps"
+        )
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -79,3 +79,94 @@ def test_asof_single_shuffle_plan(sides):
     # union + one keyed window — no join node, no range/theta join
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_asof_null_payload_attached_verbatim(spark):
+    """The matched right row is attached atomically: its NULL payload
+    fields stay NULL (DuckDB/pandas ASOF), never back-filled from an
+    older right row (ADVICE r2)."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(30))], "lid long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", _ts(10), 100, 1.0), ("u", _ts(20), 101, None)],
+        "user string, ts timestamp, rid long, rval double",
+    )
+    row = asof_join(left, right, on="user", ts_col="ts").collect()[0]
+    assert row.rid == 101
+    assert row.rval is None  # NOT 1.0 from the older row
+
+
+@pytest.fixture(scope="module")
+def skewed_sides(spark):
+    """One hot user owns ~50% of both sides; ties and gaps included."""
+    hot = [(i, "hot", _ts(i % 59)) for i in range(1, 120)]
+    cold = [(1000 + i, f"u{i % 17}", _ts((i * 7) % 59)) for i in range(120)]
+    left = spark.createDataFrame(
+        hot + cold, "lid long, user string, ts timestamp"
+    )
+    r_hot = [("hot", _ts(m), m, float(m)) for m in range(0, 59, 2)]
+    r_cold = [
+        (f"u{i % 17}", _ts((i * 5) % 59), 500 + i, float(i)) for i in range(80)
+    ]
+    right = spark.createDataFrame(
+        r_hot + r_cold, "user string, ts timestamp, rid long, rval double"
+    )
+    return left, right
+
+
+def test_asof_time_sliced_equals_unsliced(skewed_sides):
+    """Hot-key mitigation: time_slices=S gives byte-identical results to
+    the single-window plan on a skewed fixture (VERDICT r2 #2)."""
+    left, right = skewed_sides
+    base = sorted(
+        map(tuple, asof_join(left, right, on="user", ts_col="ts").collect())
+    )
+    for s in (3, 8):
+        sliced = sorted(
+            map(
+                tuple,
+                asof_join(
+                    left, right, on="user", ts_col="ts", time_slices=s
+                ).collect(),
+            )
+        )
+        assert sliced == base, f"time_slices={s} diverged"
+
+
+def test_asof_time_sliced_with_tolerance(skewed_sides):
+    left, right = skewed_sides
+    base = sorted(
+        map(
+            tuple,
+            asof_join(
+                left, right, on="user", ts_col="ts", tolerance_sec=300
+            ).collect(),
+        )
+    )
+    sliced = sorted(
+        map(
+            tuple,
+            asof_join(
+                left, right, on="user", ts_col="ts",
+                tolerance_sec=300, time_slices=5,
+            ).collect(),
+        )
+    )
+    assert sliced == base
+
+
+def test_asof_sliced_window_partitions_by_slice(skewed_sides):
+    """The sliced plan's big window must partition by (key, _slice) —
+    i.e. the hot key's history is split across slice partitions."""
+    left, right = skewed_sides
+    plan = (
+        asof_join(left, right, on="user", ts_col="ts", time_slices=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_slice" in plan
+    assert "hashpartitioning(user" in plan and "_slice" in plan.split(
+        "hashpartitioning(user", 1
+    )[1][:80]

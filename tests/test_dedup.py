@@ -65,3 +65,29 @@ def test_exact_dedup_documents(spark):
     out = exact_dedup_documents(docs)
     assert out.count() == 2
     assert {r.doc_id for r in out.collect()} == {1, 3}  # min doc_id survives
+
+
+def test_first_occurrence_dedup_native_order_types(spark):
+    """order_cols may be string/timestamp — native-type struct ordering,
+    not a lossy cast-to-long (ADVICE r2); nulls still lose."""
+    from datetime import datetime
+
+    from rdf_knowledge_extractor_spark.operators.dedup import (
+        first_occurrence_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s", "p", "o", "b-file", datetime(2024, 1, 2), "late"),
+            ("s", "p", "o", "a-file", datetime(2024, 1, 1), "early"),
+            ("s", "p", "o", None, None, "nullish"),
+            ("s2", "p", "o", None, None, "only-null"),
+        ],
+        "subject string, predicate string, object string, "
+        "src string, seen timestamp, tag string",
+    )
+    out = {
+        r.subject: r.tag
+        for r in first_occurrence_dedup(df, order_cols=("src", "seen")).collect()
+    }
+    assert out == {"s": "early", "s2": "only-null"}

@@ -109,3 +109,12 @@ def test_spark_udf_matches_local(spark):
     assert len(out) == 60
     for r in out:
         assert r["text"] == r["expected"], r["url"]
+
+
+def test_adversarial_empty_endtag_runs_no_recursion():
+    """'</>'*5000 used to blow the recursion limit in the tokenizer's
+    data state (ADVICE r2) — must parse iteratively."""
+    from rdf_knowledge_extractor_spark.functions.html_text import extract_text
+
+    assert extract_text("<body>" + "</>" * 5000 + "x") == "x"
+    assert extract_text("<p>a" + "</>b" * 3000) == "a" + "b" * 3000

@@ -252,3 +252,23 @@ def test_kg_store_rows_precede_new_batch(spark, tmp_path):
         "http://e/old0", "http://e/old1", "http://e/old2",
         "http://e/new0", "http://e/new1",
     ]
+
+
+def test_serialize_json_sentinel_injection_safe(spark):
+    """A data string that mimics the old '@F32@…@' sentinel must survive
+    verbatim — quotes intact, valid JSON (ADVICE r2: nonce sentinel)."""
+    import json as _json
+
+    from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+    from rdf_knowledge_extractor_spark.sinks.serialization import serialize_json
+
+    evil = "@F32@0.5@"
+    df = spark.createDataFrame(
+        [("http://e/s", "http://e/p", evil, 0.95, evil, {"k": evil}, 0, 0)],
+        TRIPLE_SCHEMA,
+    )
+    parsed = _json.loads(serialize_json(df))
+    assert parsed[0]["object"] == evil
+    assert parsed[0]["source"] == evil
+    assert parsed[0]["metadata"]["k"] == evil
+    assert parsed[0]["confidence"] == 0.95
