@@ -363,6 +363,30 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def q_ann_ivf_fullprobe(spark, sf):
+    """IVF with nprobe = n_centroids is exhaustive — runs the full IVF
+    machinery (k-means cells, cell join, re-rank) yet provably equals
+    brute force, so it shares `ann_cosine_topk`'s DuckDB oracle."""
+    from rdf_knowledge_extractor_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf)
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_centroids=16, nprobe=16
+    )
+
+
+def q_ann_lsh_fullcover(spark, sf):
+    """Sign-LSH with 0 planes puts every vector in one bucket — full
+    candidate coverage through the real LSH path (bucket join, dedup,
+    re-rank), provably equal to brute force; shares the same oracle."""
+    from rdf_knowledge_extractor_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _emb(spark, sf)
+    return lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=0, n_tables=1
+    )
+
+
 def q_text_langid(spark, sf):
     from rdf_knowledge_extractor_spark.functions.text_analysis import detect_language
 
@@ -403,45 +427,28 @@ def q_text_fingerprint(spark, sf):
 def q_text_quality_percentiles(spark, sf):
     """Per-predicted-language quality-score distribution (n, p50/p90/p99).
 
-    Exact `percentile` here so the DuckDB `quantile_cont` oracle can
-    hash-match (identical linear interpolation); the 100-TB path swaps
-    in `approx_percentile` (t-digest, constant memory per group) —
-    exact per-group percentile buffers the group's values."""
-    from rdf_knowledge_extractor_spark.functions.text_analysis import (
-        detect_language,
-        quality_metrics,
+    `exact=True` arm of `operators.curation.quality_percentiles` so
+    the DuckDB `quantile_cont` oracle can hash-match (identical linear
+    interpolation); the 100-TB path is the same callable's default
+    `approx_percentile` arm (constant memory per group — |exact−approx|
+    bounded in tests/test_curation.py)."""
+    from rdf_knowledge_extractor_spark.operators.curation import (
+        quality_percentiles,
     )
 
-    scored = quality_metrics(_docs(spark, sf)).withColumn(
-        "lang_pred", detect_language(F.col("text"))
-    )
-    return scored.groupBy("lang_pred").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.percentile("quality_score", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("quality_score", F.lit(0.9)), 4).alias("p90"),
-        F.round(F.percentile("quality_score", F.lit(0.99)), 4).alias("p99"),
-    )
+    return quality_percentiles(_docs(spark, sf), exact=True)
 
 
 def q_docs_rollup(spark, sf):
     """ROLLUP(lang, source): per-(lang, source) doc counts + char sums
     with lang-level and grand totals in one pass — Catalyst expands
     grouping sets into a single shuffle with map-side partial
-    aggregation (no N-pass union of aggregates)."""
-    return (
-        _docs(spark, sf)
-        .rollup("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .select(
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
-            F.coalesce("source", F.lit("ALL")).alias("source"),
-            "n_docs",
-            "sum_chars",
-        )
-    )
+    aggregation (no N-pass union of aggregates).  Subtotal rows are
+    labelled via grouping() so a data-NULL lang/source is never
+    conflated with the 'ALL' rollup line (tests exercise NULL rows)."""
+    from rdf_knowledge_extractor_spark.operators.curation import rollup_report
+
+    return rollup_report(_docs(spark, sf))
 
 
 def q_corpus_sample(spark, sf):
@@ -606,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+        "ann_lsh_fullcover": q_ann_lsh_fullcover,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -984,8 +993,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "docs_rollup": """
-            SELECT COALESCE(lang, 'ALL') AS lang,
-                   COALESCE(source, 'ALL') AS source,
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP(lang, source)
@@ -1082,11 +1091,15 @@ def oracle_sql() -> dict[str, str]:
     # minhash-LSH verified output equals the exact-Jaccard answer
     # (candidate recall ≈ 1 - 1e-35 at J ≥ 0.9 with 32 bands × 2 rows)
     qm["dedup_minhash_lsh"] = qm["dedup_ngram_jaccard"]
+    # exhaustive ANN variants provably equal brute force (full-probe
+    # IVF / zero-plane LSH), so they share the brute-force oracle
+    qm["ann_ivf_fullprobe"] = qm["ann_cosine_topk"]
+    qm["ann_lsh_fullcover"] = qm["ann_cosine_topk"]
     # no oracle (driver records rows-only check):
-    #   kg_jsonld_nodes   — JSON escaping not portable to ANSI SQL
-    #   dedup_simhash     — sketch bit arithmetic not SQL-expressible
-    #   ann_lsh_topk      — approximate by design (benchmarked vs
-    #                       ann_cosine_topk instead)
+    #   dedup_simhash — sketch bit arithmetic not SQL-expressible
+    #   ann_lsh_topk / ann_ivf_topk — approximate by design (their
+    #     exhaustive twins above carry the oracle; recall additionally
+    #     pinned vs brute force in tests/test_similarity.py)
     return qm
 
 

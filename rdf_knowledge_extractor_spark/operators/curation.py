@@ -148,3 +148,74 @@ def top_terms(
         .orderBy(F.col("cnt").desc(), F.col("term"))
         .limit(k)
     )
+
+
+def rollup_report(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    count_alias: str = "n_docs",
+    sum_col: str = "n_chars",
+    sum_alias: str = "sum_chars",
+    total_label: str = "ALL",
+) -> DataFrame:
+    """ROLLUP report over `group_cols` with subtotal rows labelled via
+    `grouping()` — a data-NULL group value stays NULL in detail rows
+    and is NEVER conflated with the rollup-total line (a
+    `coalesce(col, 'ALL')` would silently merge dirty-data NULLs into
+    the subtotal at scale).
+
+    One shuffle: Catalyst expands the grouping sets in a single
+    hash-aggregate pass with map-side partial aggregation.
+    """
+    gflags = [F.grouping(c).alias(f"_g_{c}") for c in group_cols]
+    agged = docs.rollup(*group_cols).agg(
+        F.count(F.lit(1)).alias(count_alias),
+        F.sum(sum_col).alias(sum_alias),
+        *gflags,
+    )
+    labelled = [
+        F.when(F.col(f"_g_{c}") == 1, F.lit(total_label))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in group_cols
+    ]
+    return agged.select(*labelled, count_alias, sum_alias)
+
+
+def quality_percentiles(
+    docs: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-predicted-language quality-score distribution
+    (n_docs + one column per requested quantile, named p50/p90/…).
+
+    `exact=False` (the 100-TB default) aggregates with
+    `approx_percentile` — constant memory per group (Greenwald-Khanna
+    sketch, error ≤ 1/accuracy of rank) — so a billion-doc language
+    group never buffers its values.  `exact=True` uses `percentile`
+    (linear interpolation, buffers each group) and hash-matches the
+    DuckDB `quantile_cont` oracle; it is the small-scale/oracle arm.
+    """
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        detect_language,
+        quality_metrics,
+    )
+
+    scored = quality_metrics(docs).withColumn(
+        "lang_pred", detect_language(F.col("text"))
+    )
+
+    def pct(q: float) -> Column:
+        name = f"p{round(q * 100)}"
+        if exact:
+            col = F.percentile("quality_score", F.lit(q))
+        else:
+            col = F.approx_percentile("quality_score", F.lit(q), F.lit(accuracy))
+        return F.round(col, round_digits).alias(name)
+
+    return scored.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"), *[pct(q) for q in quantiles]
+    )

@@ -48,18 +48,29 @@ def _spread(docs: DataFrame) -> DataFrame:
     input already has ≥ defaultParallelism splits and this is a no-op —
     no extra shuffle on the 100-TB path.
 
-    Guard: `.rdd.getNumPartitions()` is only consulted when the
-    physical plan contains no Exchange.  Under AQE, `.rdd` on an
-    exchange-bearing plan eagerly materializes every upstream query
-    stage (getFinalPhysicalPlan) — and a plan that already shuffles
-    produces shuffle.partitions-sized output anyway, so spreading
-    would be redundant there."""
+    Guard: partition count is only consulted when the physical plan
+    contains no Exchange.  Under AQE, `.rdd` on an exchange-bearing
+    plan eagerly materializes every upstream query stage
+    (getFinalPhysicalPlan) — and a plan that already shuffles produces
+    shuffle.partitions-sized output anyway, so spreading would be
+    redundant there.  The Exchange probe captures the PUBLIC
+    `explain()` output (no `_jdf` internals — survives renames and
+    Spark-connect, where explain is served remotely)."""
+    import contextlib
+    import io
+
     sc = docs.sparkSession.sparkContext
     p = sc.defaultParallelism
-    plan = docs._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        docs.explain(mode="simple")
+    if "Exchange" in buf.getvalue():
         return docs
-    if docs.rdd.getNumPartitions() < p:
+    try:
+        n_splits = docs.rdd.getNumPartitions()
+    except Exception:  # Connect-style sessions: no .rdd — file count
+        n_splits = len(docs.inputFiles()) or 1
+    if n_splits < p:
         return docs.repartition(p)
     return docs
 

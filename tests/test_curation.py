@@ -127,3 +127,88 @@ def test_top_terms_order_and_threshold(docs):
     for a, b in zip(out, out[1:]):
         if a.cnt == b.cnt:
             assert a.term < b.term
+
+
+def test_rollup_report_null_group_not_conflated_with_total(spark):
+    """A data-NULL lang must stay its own detail row, distinct from the
+    'ALL' subtotal line (grouping() labels, VERDICT r2 #5) — checked
+    value-for-value against DuckDB's GROUPING() on the same rows."""
+    import duckdb
+
+    from rdf_knowledge_extractor_spark.operators.curation import rollup_report
+
+    rows = [
+        ("en", "web", 10),
+        ("en", "web", 20),
+        ("de", "web", 30),
+        (None, "web", 40),   # dirty data: NULL lang
+        (None, None, 50),    # NULL lang AND source
+    ]
+    docs = spark.createDataFrame(rows, "lang string, source string, n_chars int")
+    got = {
+        (r.lang, r.source): (r.n_docs, r.sum_chars)
+        for r in rollup_report(docs).collect()
+    }
+    # NULL-lang detail rows survive as NULL, not 'ALL'
+    assert got[(None, "web")] == (1, 40)
+    assert got[(None, None)] == (1, 50)
+    # the real grand total counts everything
+    assert got[("ALL", "ALL")] == (5, 150)
+    # lang-level subtotal for NULL lang: lang=NULL, source='ALL'
+    assert got[(None, "ALL")] == (2, 90)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(lang VARCHAR, source VARCHAR, n_chars INT)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+    oracle = {
+        (lang, src): (n, s)
+        for lang, src, n, s in con.execute(
+            """
+            SELECT CASE WHEN GROUPING(lang)=1 THEN 'ALL' ELSE lang END,
+                   CASE WHEN GROUPING(source)=1 THEN 'ALL' ELSE source END,
+                   CAST(count(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+            FROM documents GROUP BY ROLLUP(lang, source)
+            """
+        ).fetchall()
+    }
+    assert got == oracle
+
+
+def test_quality_percentiles_approx_close_to_exact(spark):
+    """The approx_percentile production arm must track the exact arm
+    within a tight bound on the fixture (VERDICT r2 #6)."""
+    from rdf_knowledge_extractor_spark.operators.curation import (
+        quality_percentiles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # rank-tolerance check: approx_percentile returns an actual data
+    # value with rank error ≤ 1/accuracy, while `percentile`
+    # interpolates — so assert each approx value lies between the exact
+    # percentiles at q ∓ 0.01 (a fixed value-bound would be wrong
+    # wherever the tail is steep).
+    qs = (0.5, 0.9, 0.99)
+    lo = {
+        r.lang_pred: r
+        for r in quality_percentiles(
+            docs, quantiles=tuple(max(q - 0.01, 0.0) for q in qs), exact=True
+        ).collect()
+    }
+    hi = {
+        r.lang_pred: r
+        for r in quality_percentiles(
+            docs, quantiles=tuple(min(q + 0.01, 1.0) for q in qs), exact=True
+        ).collect()
+    }
+    exact = {r.lang_pred: r for r in quality_percentiles(docs, exact=True).collect()}
+    approx = {r.lang_pred: r for r in quality_percentiles(docs, exact=False).collect()}
+    assert set(exact) == set(approx)
+    eps = 1e-4  # both sides round to 4 digits
+    for lang, a in approx.items():
+        assert a.n_docs == exact[lang].n_docs
+        for q in qs:
+            col_a = f"p{round(q * 100)}"
+            lo_v = getattr(lo[lang], f"p{round(max(q - 0.01, 0.0) * 100)}")
+            hi_v = getattr(hi[lang], f"p{round(min(q + 0.01, 1.0) * 100)}")
+            v = getattr(a, col_a)
+            assert lo_v - eps <= v <= hi_v + eps, (lang, col_a, lo_v, v, hi_v)
