@@ -13,7 +13,10 @@ The reference has two dedup paths, both O(n²)/O(n·m) in-memory scans:
   `add_triples` skips (s,p,o) already present and reports how many rows
   were added.  Expressed as a left ANTI join against the existing graph
   (shuffle-hash/SMJ picked by AQE; at Iceberg scale this is
-  `MERGE INTO … WHEN NOT MATCHED THEN INSERT`).
+  `MERGE INTO … WHEN NOT MATCHED THEN INSERT`).  The TRANSACTIONAL
+  commit of that insert — write-new-files + atomic manifest swap,
+  idempotent per batch — lives in `plans/store.py` (TripleStore);
+  this module is the pure compute.
 """
 
 from __future__ import annotations

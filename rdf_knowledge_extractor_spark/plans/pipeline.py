@@ -229,6 +229,21 @@ class KgPipeline:
         )
         return s5
 
+    def commit_to_store(
+        self, graph: DataFrame, store_root: str, batch_id: str | None = None
+    ) -> int:
+        """Materialize a pipeline result into the transactional
+        `TripleStore` (plans/store.py): write-new-files + atomic
+        manifest swap, idempotent per batch_id — the exactly-once
+        insert the reference's `add_triples` implies
+        (ref:src/knowledge_graph/mod.rs:91-114) held under crash/retry.
+        Default batch_id is the run's input+config fingerprint, so
+        re-running the same pipeline twice commits once."""
+        from rdf_knowledge_extractor_spark.plans.store import TripleStore
+
+        bid = batch_id or self._fingerprint("store_commit", {})
+        return TripleStore(self.spark, store_root).insert_if_absent(graph, bid)
+
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(str(self.base / "s3_lineage" / "data"))
 

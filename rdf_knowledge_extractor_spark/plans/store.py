@@ -1,0 +1,201 @@
+"""Transactional triple store: parquet data files + atomic manifest.
+
+The reference's `add_triples` (ref:src/knowledge_graph/mod.rs:91-114)
+is exactly-once by construction: one process, one in-memory Vec, one
+whole-file rewrite.  At 100 TB the production equivalent is Iceberg
+`MERGE INTO … WHEN NOT MATCHED THEN INSERT` (snapshot commit); this
+module implements the same transactional contract on plain
+parquet + a JSON manifest so the exactly-once insert-if-absent
+semantics hold under failure and retry WITHOUT Iceberg jars:
+
+- **write-new-files**: every batch writes to a fresh uniquely-named
+  directory; committed files are NEVER rewritten or appended to.
+- **atomic manifest swap**: visibility is a single `os.replace` of
+  `manifest.json` (atomic on POSIX).  A crash after data files are
+  written but before the swap leaves orphan files that no reader ever
+  sees — the retry simply redoes the anti-join and commits.
+- **idempotent by batch_id**: a batch_id already in the manifest is a
+  no-op returning added=0, so at-least-once drivers (Structured
+  Streaming `foreachBatch`, task retries, resumed pipelines) converge
+  to exactly-once — mirroring Iceberg's WAP/snapshot-id dedup.
+- **optimistic concurrency**: the commit re-reads the manifest and
+  aborts if another writer advanced the version (the reference is
+  single-writer; we fail loudly instead of corrupting).
+
+The COMPUTE is unchanged: new rows = left ANTI join of the batch
+against the committed graph (AQE picks broadcast vs SMJ) — only the
+COMMIT becomes transactional.  Scale: the manifest holds file paths +
+counts (O(batches)), not rows; data stays partitioned parquet exactly
+as an Iceberg table's data layer would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdf_knowledge_extractor_spark.operators.dedup import (
+    TRIPLE_KEY,
+    first_occurrence_dedup,
+)
+
+_MANIFEST = "manifest.json"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the store version mid-commit."""
+
+
+class TripleStore:
+    """Directory layout::
+
+        <root>/manifest.json            # the ONLY mutable path (atomic swap)
+        <root>/data/<batch>-<uuid>/…    # immutable parquet file sets
+
+    `manifest.json`: {version, batches: {batch_id: {path, rows, added}},
+    total_rows, updated}.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = Path(root)
+        (self.root / "data").mkdir(parents=True, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------
+    def _manifest_path(self) -> Path:
+        return self.root / _MANIFEST
+
+    def _read_manifest(self) -> dict:
+        p = self._manifest_path()
+        if not p.exists():
+            return {"version": 0, "batches": {}, "total_rows": 0}
+        return json.loads(p.read_text())
+
+    def _swap_manifest(self, manifest: dict, expected_version: int) -> None:
+        current = self._read_manifest()
+        if current["version"] != expected_version:
+            raise CommitConflict(
+                f"store version moved {expected_version} -> {current['version']} "
+                "during commit; retry the batch"
+            )
+        tmp = self._manifest_path().with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps(manifest, indent=2))
+        os.replace(tmp, self._manifest_path())  # atomic visibility point
+
+    # -- reads ---------------------------------------------------------
+    def committed_paths(self) -> list[str]:
+        m = self._read_manifest()
+        return [b["path"] for b in m["batches"].values() if b["rows"] > 0]
+
+    def read(self) -> DataFrame | None:
+        """Union of all committed file sets (None when empty).  Orphan
+        directories from crashed commits are invisible by design."""
+        paths = self.committed_paths()
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def total_rows(self) -> int:
+        return self._read_manifest()["total_rows"]
+
+    def batch_ids(self) -> list[str]:
+        return sorted(self._read_manifest()["batches"])
+
+    # -- the transactional insert --------------------------------------
+    def insert_if_absent(
+        self,
+        batch: DataFrame,
+        batch_id: str,
+        dedup_batch: bool = True,
+        _crash_before_commit: bool = False,
+    ) -> int:
+        """Exactly-once insert-if-absent; returns the added-row count
+        (the reference's `add_triples` return,
+        ref:src/knowledge_graph/mod.rs:91-114).
+
+        Retry-safe at every point:
+        - already-committed batch_id → no-op, returns the original count;
+        - crash before the manifest swap → orphan files, zero visible
+          effect; the retry recomputes and commits.
+
+        `_crash_before_commit` is a test hook that aborts between the
+        data write and the manifest swap (simulating a driver crash).
+        """
+        manifest = self._read_manifest()
+        if batch_id in manifest["batches"]:
+            return manifest["batches"][batch_id]["added"]
+        expected_version = manifest["version"]
+
+        rows = first_occurrence_dedup(batch) if dedup_batch else batch
+        existing = self.read()
+        if existing is not None:
+            rows = rows.join(
+                existing.select(*TRIPLE_KEY), on=list(TRIPLE_KEY), how="left_anti"
+            )
+
+        out_dir = self.root / "data" / f"{_safe(batch_id)}-{uuid.uuid4().hex[:8]}"
+        rows.write.mode("overwrite").parquet(str(out_dir))
+        added = self.spark.read.parquet(str(out_dir)).count()
+
+        if _crash_before_commit:
+            raise RuntimeError("simulated crash before manifest swap")
+
+        manifest["version"] += 1
+        manifest["batches"][batch_id] = {
+            "path": str(out_dir),
+            "rows": added,
+            "added": added,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifest["total_rows"] += added
+        self._swap_manifest(manifest, expected_version)
+        return added
+
+    def compact(self, target_dir: str | None = None) -> int:
+        """Rewrite all committed files into one file set and swap the
+        manifest to reference only it (Iceberg `rewrite_data_files`
+        equivalent).  Returns total rows.  Crash-safe the same way:
+        the new file set is invisible until the swap."""
+        manifest = self._read_manifest()
+        expected_version = manifest["version"]
+        df = self.read()
+        if df is None:
+            return 0
+        out_dir = Path(target_dir) if target_dir else (
+            self.root / "data" / f"compact-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("overwrite").parquet(str(out_dir))
+        total = self.spark.read.parquet(str(out_dir)).count()
+        # keep idempotency history: batch_ids stay known with their
+        # original added counts but reference no data; the compacted
+        # file set is the single live entry (it must come LAST so a
+        # prior __compacted__ history entry cannot shadow it)
+        history = {
+            bid: {**b, "rows": 0}
+            for bid, b in manifest["batches"].items()
+            if bid != "__compacted__"
+        }
+        new_manifest = {
+            "version": expected_version + 1,
+            "batches": {
+                **history,
+                "__compacted__": {
+                    "path": str(out_dir),
+                    "rows": total,
+                    "added": 0,
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+            },
+            "total_rows": total,
+        }
+        self._swap_manifest(new_manifest, expected_version)
+        return total
+
+
+def _safe(batch_id: str) -> str:
+    return "".join(c if c.isalnum() or c in "-_." else "_" for c in batch_id)[:64]

@@ -84,23 +84,26 @@ def start_graph_merge_sink(
     """foreachBatch sink applying insert-if-absent semantics per
     micro-batch (the streaming analog of the store's add_triples,
     ref:src/knowledge_graph/mod.rs:91-114; Iceberg `MERGE INTO` in
-    production)."""
-    from rdf_knowledge_extractor_spark.operators.dedup import (
-        TRIPLE_KEY,
-        first_occurrence_dedup,
-    )
+    production).
+
+    Commits go through the transactional `TripleStore` (write-new-files
+    + atomic manifest swap), so a micro-batch retried after a partial
+    write converges to exactly-once: the batch key is
+    (checkpoint, batch_id) — Spark replays a failed batch under the
+    SAME id, which the store recognizes and no-ops, while a fresh
+    checkpoint gets new keys and falls through to the anti-join.
+    `graph_path` is the store root; read it back with
+    `TripleStore(spark, graph_path).read()`."""
+    import hashlib
+
+    from rdf_knowledge_extractor_spark.plans.store import TripleStore
+
+    ckpt_tag = hashlib.sha256(checkpoint_path.encode()).hexdigest()[:8]
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch = first_occurrence_dedup(
-            batch_df.filter(F.col("subject").isNotNull()).drop("error")
-        )
-        try:
-            existing = spark.read.parquet(graph_path).select(*TRIPLE_KEY)
-            new_rows = batch.join(existing, on=list(TRIPLE_KEY), how="left_anti")
-        except Exception:  # first batch: no graph yet
-            new_rows = batch
-        new_rows.write.mode("append").parquet(graph_path)
+        store = TripleStore(batch_df.sparkSession, graph_path)
+        batch = batch_df.filter(F.col("subject").isNotNull()).drop("error")
+        store.insert_if_absent(batch, f"{ckpt_tag}-{batch_id}")
 
     writer = (
         triples_stream.writeStream.foreachBatch(merge_batch)

@@ -152,3 +152,26 @@ def test_pipeline_fused_matches_two_stage(spark, tmp_path):
     a = sorted(tuple(r[c] for c in cols) for r in g1.select(cols).collect())
     b = sorted(tuple(r[c] for c in cols) for r in g2.select(cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_pipeline_commit_to_store_idempotent(spark, example_config, tmp_path):
+    """Pipeline → TripleStore commit: re-running the identical pipeline
+    commits once (fingerprint batch key), and the store holds exactly
+    the graph rows."""
+    from rdf_knowledge_extractor_spark.plans.pipeline import KgPipeline
+    from rdf_knowledge_extractor_spark.plans.store import TripleStore
+    from rdf_knowledge_extractor_spark.sources.pages import pages_dataframe
+
+    pages = pages_dataframe(spark, 10, seed=7)
+    pipe = KgPipeline(spark, example_config, str(tmp_path / "ck"), partitions=4)
+    graph = pipe.run(pages)
+    n = graph.count()
+    store_root = str(tmp_path / "kgstore")
+    added = pipe.commit_to_store(graph, store_root)
+    assert added == n > 0
+
+    # identical rerun (resume path) → same fingerprint → no-op commit
+    pipe2 = KgPipeline(spark, example_config, str(tmp_path / "ck"), partitions=4)
+    graph2 = pipe2.run(pages)
+    assert pipe2.commit_to_store(graph2, store_root) == added
+    assert TripleStore(spark, store_root).read().count() == n

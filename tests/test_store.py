@@ -1,0 +1,105 @@
+"""Transactional triple store (plans/store.py): exactly-once
+insert-if-absent under crash + retry (VERDICT r2 #3; parity target
+ref:src/knowledge_graph/mod.rs:91-114)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rdf_knowledge_extractor_spark.plans.store import CommitConflict, TripleStore
+from rdf_knowledge_extractor_spark.schemas import TRIPLE_SCHEMA
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, o, 1.0, None, {}, 0, i) for i, (s, p, o) in enumerate(rows)],
+        TRIPLE_SCHEMA,
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TripleStore(spark, str(tmp_path / "kg"))
+
+
+def test_insert_and_anti_join_semantics(store, spark):
+    a = _triples(spark, [("s1", "p", "o1"), ("s2", "p", "o2")])
+    assert store.insert_if_absent(a, "b1") == 2
+    # second batch overlaps on (s,p,o): only the new row lands
+    b = _triples(spark, [("s2", "p", "o2"), ("s3", "p", "o3")])
+    assert store.insert_if_absent(b, "b2") == 1
+    got = {(r.subject, r.object) for r in store.read().collect()}
+    assert got == {("s1", "o1"), ("s2", "o2"), ("s3", "o3")}
+    assert store.total_rows() == 3
+
+
+def test_duplicate_batch_id_is_idempotent_noop(store, spark):
+    a = _triples(spark, [("s1", "p", "o1")])
+    assert store.insert_if_absent(a, "b1") == 1
+    # retry of a COMMITTED batch: returns the original count, no dup rows
+    assert store.insert_if_absent(a, "b1") == 1
+    assert store.read().count() == 1
+    assert store.batch_ids() == ["b1"]
+
+
+def test_crash_before_commit_then_retry_no_duplicates(store, spark):
+    """Kill-and-rerun: data files written, manifest swap never happened
+    — the store must show ZERO effect, and the retry must commit
+    exactly once with the correct added-count."""
+    a = _triples(spark, [("s1", "p", "o1"), ("s2", "p", "o2")])
+    assert store.insert_if_absent(a, "b1") == 2
+
+    b = _triples(spark, [("s2", "p", "o2"), ("s3", "p", "o3")])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.insert_if_absent(b, "b2", _crash_before_commit=True)
+    # orphan files invisible: nothing changed
+    assert store.read().count() == 2
+    assert store.batch_ids() == ["b1"]
+
+    # retry same batch: exactly-once outcome
+    assert store.insert_if_absent(b, "b2") == 1
+    rows = [(r.subject, r.predicate, r.object) for r in store.read().collect()]
+    assert len(rows) == len(set(rows)) == 3
+
+
+def test_commit_conflict_detected(store, spark):
+    a = _triples(spark, [("s1", "p", "o1")])
+    store.insert_if_absent(a, "b1")
+    # another writer bumps the version mid-commit: simulate by editing
+    # the manifest between read and swap via the internal API
+    manifest = store._read_manifest()
+    stale_version = manifest["version"] - 1  # pretend we read v0
+    with pytest.raises(CommitConflict):
+        store._swap_manifest(manifest, stale_version)
+
+
+def test_compact_preserves_rows_and_idempotency(store, spark):
+    store.insert_if_absent(_triples(spark, [("s1", "p", "o1")]), "b1")
+    store.insert_if_absent(_triples(spark, [("s2", "p", "o2")]), "b2")
+    assert store.compact() == 2
+    assert store.read().count() == 2
+    # post-compact: old batch_ids still recognized (no re-insert)
+    assert store.insert_if_absent(_triples(spark, [("s1", "p", "o1")]), "b1") == 1
+    assert store.read().count() == 2
+    # a second compact must not be shadowed by the first's history entry
+    store.insert_if_absent(_triples(spark, [("s3", "p", "o3")]), "b3")
+    assert store.compact() == 3
+    assert store.read().count() == 3
+
+
+def test_batch_dedup_inside_one_batch(store, spark):
+    dup = _triples(spark, [("s1", "p", "o1"), ("s1", "p", "o1")])
+    assert store.insert_if_absent(dup, "b1") == 1
+    assert store.read().count() == 1
+
+
+def test_manifest_is_the_only_visibility_point(store, spark, tmp_path):
+    """Orphan parquet directories under data/ must never surface."""
+    store.insert_if_absent(_triples(spark, [("s1", "p", "o1")]), "b1")
+    orphan = store.root / "data" / "orphan-deadbeef"
+    _triples(spark, [("sX", "p", "oX")]).write.parquet(str(orphan))
+    assert {r.subject for r in store.read().collect()} == {"s1"}
+    m = json.loads((store.root / "manifest.json").read_text())
+    assert "orphan" not in json.dumps(m["batches"])

@@ -70,14 +70,21 @@ def test_stream_graph_merge_dedups(spark, example_config, tmp_path):
         )
         q.awaitTermination(120)
 
+    from rdf_knowledge_extractor_spark.plans.store import TripleStore
+
     run_once("c1")
-    g1 = spark.read.parquet(graph_path)
+    g1 = TripleStore(spark, graph_path).read()
     n1 = g1.count()
     assert n1 == g1.select("subject", "predicate", "object").distinct().count()
 
-    # replay the SAME input with a FRESH checkpoint: anti-join skips all
+    # replay the SAME input with a FRESH checkpoint: fresh batch keys,
+    # so the transactional store's anti-join must skip every row
     run_once("c2")
-    assert spark.read.parquet(graph_path).count() == n1
+    store = TripleStore(spark, graph_path)
+    assert store.read().count() == n1
+    assert store.total_rows() == n1
+    # two checkpoints → two distinct committed batch keys
+    assert len(store.batch_ids()) == 2
 
 
 def test_stateful_sessionization_applyinpandaswithstate(spark, tmp_path):
