@@ -1493,3 +1493,36 @@ class TreeBuilder:
 def parse_document(source: str) -> Node:
     """Parse an HTML document; returns the <html> element node."""
     return TreeBuilder().parse(source)
+
+
+def serialize_test_format(html_node: Node) -> str:
+    """Serialize a parsed tree in the public html5lib-tests
+    tree-construction format (the `#document` section's `| `-indented
+    lines), for differential comparison against spec-corpus goldens in
+    tests/test_html5lib_corpus.py.
+
+    Two constructor-level normalizations (this builder is
+    text-extraction-grade): DOCTYPE nodes are not retained (quirks is
+    tracked as a flag) and comment nodes carry position but not
+    content — so the comparator strips `<!DOCTYPE …>` and `<!-- … -->`
+    lines from the expected side, and this serializer emits nothing
+    for Comment nodes (their run-splitting effect on text is still
+    visible as separate adjacent text lines on both sides).
+    """
+    out: list[str] = []
+
+    def emit(node: Node, depth: int) -> None:
+        pad = "| " + "  " * depth
+        out.append(f"{pad}<{node.name}>")
+        for k in sorted(node.attrs):
+            out.append("| " + "  " * (depth + 1) + f'{k}="{node.attrs[k]}"')
+        for child in node.children:
+            if isinstance(child, str):
+                out.append("| " + "  " * (depth + 1) + f'"{child}"')
+            elif isinstance(child, Comment):
+                continue
+            else:
+                emit(child, depth + 1)
+
+    emit(html_node, 0)
+    return "\n".join(out)
