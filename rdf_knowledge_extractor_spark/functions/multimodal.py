@@ -1,12 +1,17 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-The container has no media codecs, so the DECODE step is stubbed —
-either a clearly-marked NotImplementedError (real mode) or a
-deterministic fake (test mode).  Everything Spark-side is real and
-tested: the typed schema, Arrow batch shapes, mapInPandas signatures,
-and partitioning behavior, so swapping in a real decoder (PIL /
-torchaudio / pyav) is a one-function change on a cluster that has
-them.
+Decode tiers:
+- **PNG images decode for real** via the pure-stdlib codec in
+  functions/png.py (zlib inflate + scanline unfilter) — width/height/
+  channels/per-channel means become the leading feature dimensions.
+- other codecs (JPEG, audio, video) need libraries absent from this
+  container, so they remain stubbed: a clearly-marked
+  NotImplementedError (real mode) or a deterministic fake (test mode).
+
+Everything Spark-side is real and tested either way: the typed schema,
+Arrow batch shapes, mapInPandas signatures, and partitioning behavior,
+so swapping in PIL/torchaudio/pyav is a one-function change on a
+cluster that has them.
 """
 
 from __future__ import annotations
@@ -39,11 +44,24 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _real_decode(data: bytes, media_type: str):
+def _real_decode(data: bytes, media_type: str, feature_dim: int) -> list[float]:
+    """Real decode where a stdlib codec exists (PNG); raise otherwise.
+
+    PNG feature layout: [width/1e4, height/1e4, channels/4,
+    mean_c0..mean_cN, 0-padding] truncated/padded to feature_dim."""
+    from rdf_knowledge_extractor_spark.functions.png import is_png, png_stats
+
+    if media_type == "image" and is_png(data):
+        w, h, c, means = png_stats(data)
+        feat = [w / 1e4, h / 1e4, c / 4.0, *means]
+        feat = feat[:feature_dim]
+        return feat + [0.0] * (feature_dim - len(feat))
     raise NotImplementedError(
-        "real media decoding requires PIL/torchaudio/pyav — not present in "
-        "this container; use deterministic_fake=True or run on a cluster "
-        "image that bundles the codecs"
+        f"no stdlib decoder for media_type={media_type!r} with this "
+        "signature — PNG is decoded natively (functions/png.py); "
+        "JPEG/audio/video require PIL/torchaudio/pyav (absent in this "
+        "container); use deterministic_fake=True or a cluster image "
+        "that bundles the codecs"
     )
 
 
@@ -73,9 +91,9 @@ def extract_media_features(
                 if deterministic_fake:
                     feature = _fake_feature(data, feature_dim)
                     decoder = "fake-blake2b-v1"
-                else:  # pragma: no cover — needs codec libs
-                    feature = _real_decode(data, r[type_col])
-                    decoder = "real"
+                else:
+                    feature = _real_decode(data, r[type_col], feature_dim)
+                    decoder = "png-stdlib-v1"
                 rows.append(
                     {
                         "media_id": int(r[id_col]),
