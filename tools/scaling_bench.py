@@ -116,6 +116,60 @@ graph = canonicalize_triples(merged, mapping)
 n_triples = graph.count()
 stage_times["s5_canonicalize"] = round(time.monotonic() - t, 2)
 
+# training-data operator families (round-2 verdict: the scaling gate
+# must cover curation/rollup/as-of, not just extract→link) — same
+# corpus, deterministic derived tables, all inside the timed window
+from pyspark.sql import functions as F
+from rdf_knowledge_extractor_spark.operators.curation import (
+    curate_corpus, rollup_report)
+from rdf_knowledge_extractor_spark.operators.asof import asof_join
+from rdf_knowledge_extractor_spark.functions.text_analysis import detect_language
+from rdf_knowledge_extractor_spark.functions.html_text import with_extracted_text
+
+t = time.monotonic()
+docs = (
+    with_extracted_text(pages, html_col="html", out_col="text")
+    .select(
+        F.col("doc_seq").alias("doc_id"),
+        "text",
+        F.substring_index(F.substring_index("url", "/", 3), "/", -1).alias("source"),
+    )
+    .persist(StorageLevel.DISK_ONLY)
+)
+n_curated = curate_corpus(docs, lang="en", min_words=5).count()
+stage_times["s6_curate"] = round(time.monotonic() - t, 2)
+
+t = time.monotonic()
+docs2 = docs.select(
+    detect_language(F.col("text")).alias("lang"),
+    "source",
+    F.length("text").alias("n_chars"),
+)
+rollup_report(docs2).count()
+stage_times["s7_rollup"] = round(time.monotonic() - t, 2)
+
+t = time.monotonic()
+base = docs.select(
+    "doc_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5000)).alias("user")
+)
+clicks = base.select(
+    "user",
+    F.timestamp_seconds(
+        F.lit(1700000000) + F.pmod(F.col("doc_id") * 37, F.lit(86400))
+    ).alias("ts"),
+    F.col("doc_id").alias("click_id"),
+)
+purchases = base.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+    F.col("doc_id").alias("purchase_id"),
+    "user",
+    F.timestamp_seconds(
+        F.lit(1700000000) + F.pmod(F.col("doc_id") * 53 + 7, F.lit(86400))
+    ).alias("ts"),
+)
+asof_join(purchases, clicks, on="user", ts_col="ts").count()
+stage_times["s8_asof"] = round(time.monotonic() - t, 2)
+docs.unpersist()
+
 elapsed = time.monotonic() - t0
 _tot1, _steal1 = _cpu_stat()
 steal_pct = round(100.0 * (_steal1 - _steal0) / max(_tot1 - _tot0, 1), 2)
@@ -214,8 +268,10 @@ Same job, same input ({n_pages} deterministic synthetic pages,
 seed 42), two parallelism levels on one 32-core box.  Pipeline
 stages: html→text UDF → micro-batched triple extraction →
 first-occurrence dedup → MinHash-LSH entity linking + connected
-components → canonicalize.  Input generation and JVM startup excluded
-from the timed window.
+components → canonicalize, PLUS the training-data operator families
+(corpus curation gate, grouping-sets rollup report, as-of event
+attribution) over tables derived from the same corpus.  Input
+generation and JVM startup excluded from the timed window.
 
 | config | pages | input bytes | triples | wall sec | pages/s | triples/s | shuffle parts |
 |---|---|---|---|---|---|---|---|
