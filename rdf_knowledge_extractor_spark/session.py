@@ -38,6 +38,13 @@ def get_spark(
         # post-shuffle coalescing entirely without this
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # fall back to interpreted (CSE'd) eval when a whole-stage
+        # method exceeds the JVM JIT's 8 KB compile limit — the Spark
+        # default (65535) happily emits methods HotSpot refuses to
+        # compile, leaving wide text-metric projections running in the
+        # BYTECODE interpreter: measured 3.5× slower and ~flat from 1→4
+        # cores on the language-ID/quality scan
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -75,6 +75,38 @@ wm = merge_results(wtr).persist()
 wm.count()
 canonicalize_triples(wm, link_entities(wm)).count()
 wm.unpersist()
+# warm the training-data operator plan shapes too (curate's
+# detect_language case-expression alone costs ~30 s of codegen on
+# first compile — identical at every parallelism level)
+from pyspark.sql import functions as F
+from rdf_knowledge_extractor_spark.operators.curation import (
+    curate_corpus, rollup_report)
+from rdf_knowledge_extractor_spark.operators.asof import asof_join
+from rdf_knowledge_extractor_spark.functions.text_analysis import detect_language
+from rdf_knowledge_extractor_spark.functions.html_text import with_extracted_text
+wdocs = (
+    with_extracted_text(warm, html_col="html", out_col="text")
+    .select(
+        F.col("doc_seq").alias("doc_id"), "text",
+        F.substring_index(F.substring_index("url", "/", 3), "/", -1).alias("source"),
+    ).persist()
+)
+curate_corpus(wdocs, lang="en", min_words=5).count()
+rollup_report(
+    wdocs.select(detect_language(F.col("text")).alias("lang"), "source",
+                 F.length("text").alias("n_chars"))
+).count()
+wbase = wdocs.select("doc_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(50)).alias("user"))
+asof_join(
+    wbase.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+        F.col("doc_id").alias("purchase_id"), "user",
+        F.timestamp_seconds(F.lit(1700000000) + F.pmod(F.col("doc_id") * 53 + 7, F.lit(86400))).alias("ts")),
+    wbase.select("user",
+        F.timestamp_seconds(F.lit(1700000000) + F.pmod(F.col("doc_id") * 37, F.lit(86400))).alias("ts"),
+        F.col("doc_id").alias("click_id")),
+    on="user", ts_col="ts",
+).count()
+wdocs.unpersist()
 
 def _cpu_stat():
     with open("/proc/stat") as f:
