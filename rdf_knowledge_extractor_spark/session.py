@@ -38,13 +38,21 @@ def get_spark(
         # post-shuffle coalescing entirely without this
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # fall back to interpreted (CSE'd) eval when a whole-stage
-        # method exceeds the JVM JIT's 8 KB compile limit — the Spark
-        # default (65535) happily emits methods HotSpot refuses to
-        # compile, leaving wide text-metric projections running in the
-        # BYTECODE interpreter: measured 3.5× slower and ~flat from 1→4
-        # cores on the language-ID/quality scan
+        # Codegen sizing, tuned as a PAIR (measured on the text-metric
+        # scan and the MinHash sketch path):
+        # - hugeMethodLimit=8000: fall back to interpreted (CSE'd) eval
+        #   when a whole-stage method exceeds the JVM JIT's 8 KB
+        #   compile limit — Spark's default (65535) happily emits
+        #   methods HotSpot refuses to compile, leaving wide
+        #   projections running in the BYTECODE interpreter (3.5×
+        #   slower, ~flat from 1→4 cores on the language-ID scan).
+        # - methodSplitThreshold=512: split generated code into
+        #   smaller methods aggressively so splittable stages (e.g.
+        #   shingle hashing) stay UNDER the 8 KB limit and keep
+        #   whole-stage codegen — with the fallback alone the MinHash
+        #   path lost 25%; combined, both workloads hit their best.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        .config("spark.sql.codegen.methodSplitThreshold", "512")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
