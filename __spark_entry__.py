@@ -166,6 +166,31 @@ def q_kg_sparql_bgp(spark, sf):
     return execute_sparql(_graph(spark, sf), q)
 
 
+def q_kg_sparql_agg(spark, sf):
+    """SPARQL 1.1 aggregates (round-3 engine extension): GROUP BY +
+    COUNT + HAVING compile to ONE Catalyst hash aggregate with
+    map-side partial combine — no driver-side grouping."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = """
+    SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+    GROUP BY ?p HAVING (?n >= 1) ORDER BY ?p
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_sparql_union(spark, sf):
+    """SPARQL UNION (round-3 extension): bag union with NULL-padded
+    disjoint variables → unionByName(allowMissingColumns)."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?v WHERE {{ {{ ?s kg:hasLang ?v }} UNION {{ ?s kg:hasName ?v }} }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
 def q_kg_traversal_2hop(spark, sf):
     from rdf_knowledge_extractor_spark.operators.traversal import find_related_entities
 
@@ -595,6 +620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_query_name_pattern": q_kg_query_name_pattern,
         "kg_query_role_pattern": q_kg_query_role_pattern,
         "kg_sparql_bgp": q_kg_sparql_bgp,
+        "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_union": q_kg_sparql_union,
         "kg_traversal_2hop": q_kg_traversal_2hop,
         "kg_validation_filter": q_kg_validation_filter,
         "kg_validation_issues": q_kg_validation_issues,
@@ -725,6 +752,16 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.subject = b.subject
             WHERE a.predicate = '{NS}belongsTo' AND a.object = '{BASE}src_src0'
               AND b.predicate = '{NS}hasLang'
+        """,
+        "kg_sparql_agg": f"""
+            SELECT predicate AS p, CAST(count(*) AS BIGINT) AS n
+            FROM ({dedup}) GROUP BY predicate HAVING count(*) >= 1
+        """,
+        "kg_sparql_union": f"""
+            WITH g AS ({dedup})
+            SELECT object AS v FROM g WHERE predicate = '{NS}hasLang'
+            UNION ALL
+            SELECT object AS v FROM g WHERE predicate = '{NS}hasName'
         """,
         "kg_traversal_2hop": f"""
             WITH g AS ({dedup}),

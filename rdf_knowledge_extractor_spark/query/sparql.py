@@ -76,6 +76,16 @@ class _Group:
     patterns: list[_Pattern] = field(default_factory=list)
     optionals: list["_Group"] = field(default_factory=list)
     filters: list = field(default_factory=list)  # parsed FILTER ASTs
+    unions: list[list["_Group"]] = field(default_factory=list)  # {g} UNION {g}…
+    exists: list[tuple[bool, "_Group"]] = field(default_factory=list)  # (negated, group)
+
+
+@dataclass
+class _Agg:
+    func: str        # count | sum | min | max | avg
+    var: str | None  # None = '*'
+    distinct: bool
+    alias: str
 
 
 _TOKEN_RE = re.compile(
@@ -137,13 +147,45 @@ class SparqlEngine:
 
         expect("SELECT")
         proj: list[str] = []
+        aggs: list[_Agg] = []
         star = False
+        distinct = False
+        _AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+        if peek() and peek().upper() == "DISTINCT":
+            take()
+            distinct = True
         while peek() and peek().upper() != "WHERE":
             t = take()
             if t == "*":
                 star = True
             elif t.startswith("?"):
                 proj.append(t[1:])
+            elif t == "(":
+                # ( FUNC ( [DISTINCT] ?var | * ) AS ?alias )
+                fn = take()
+                if fn is None or fn.lower() not in _AGG_FUNCS:
+                    raise SparqlError(f"unknown aggregate {fn!r}")
+                expect("(")
+                agg_distinct = False
+                if peek() and peek().upper() == "DISTINCT":
+                    take()
+                    agg_distinct = True
+                arg = take()
+                if arg == "*":
+                    if fn.lower() != "count":
+                        raise SparqlError(f"{fn}(*) is not valid")
+                    var = None
+                elif arg and arg.startswith("?"):
+                    var = arg[1:]
+                else:
+                    raise SparqlError(f"bad aggregate argument {arg!r}")
+                expect(")")
+                expect("AS")
+                alias = take()
+                if not (alias and alias.startswith("?")):
+                    raise SparqlError("aggregate needs AS ?alias")
+                expect(")")
+                aggs.append(_Agg(fn.lower(), var, agg_distinct, alias[1:]))
             else:
                 raise SparqlError(f"bad projection term {t!r}")
         expect("WHERE")
@@ -237,8 +279,26 @@ class SparqlEngine:
                     take()
                     g.optionals.append(parse_group())
                     continue
+                if peek() == "{":
+                    # GroupOrUnionGraphPattern: { … } (UNION { … })*
+                    chain = [parse_group()]
+                    while peek() and peek().upper() == "UNION":
+                        take()
+                        chain.append(parse_group())
+                    g.unions.append(chain)
+                    if peek() == ".":
+                        take()
+                    continue
                 if peek().upper() == "FILTER":
                     take()
+                    if peek() and peek().upper() in ("EXISTS", "NOT"):
+                        negated = take().upper() == "NOT"
+                        if negated:
+                            expect("EXISTS")
+                        g.exists.append((negated, parse_group()))
+                        if peek() == ".":
+                            take()
+                        continue
                     expect("(")
                     g.filters.append(parse_filter_expr())
                     expect(")")
@@ -270,12 +330,25 @@ class SparqlEngine:
 
         order: list[tuple[str, bool]] = []  # (var, descending)
         limit: int | None = None
+        offset: int | None = None
+        group_by: list[str] = []
+        having = None
         while peek():
             t = take()
             up = t.upper()
-            if up == "ORDER":
+            if up == "GROUP":
                 expect("BY")
-                while peek() and peek().upper() not in ("LIMIT",):
+                while peek() and peek().startswith("?"):
+                    group_by.append(take()[1:])
+                if not group_by:
+                    raise SparqlError("GROUP BY needs at least one ?var")
+            elif up == "HAVING":
+                expect("(")
+                having = parse_filter_expr()
+                expect(")")
+            elif up == "ORDER":
+                expect("BY")
+                while peek() and peek().upper() not in ("LIMIT", "OFFSET"):
                     t2 = take()
                     if t2.upper() in ("ASC", "DESC"):
                         expect("(")
@@ -288,10 +361,18 @@ class SparqlEngine:
                         raise SparqlError(f"bad ORDER BY term {t2!r}")
             elif up == "LIMIT":
                 limit = int(take())
+            elif up == "OFFSET":
+                offset = int(take())
             else:
                 raise SparqlError(f"unexpected token {t!r}")
 
-        return proj, star, group, order, limit
+        return proj, star, group, order, limit, {
+            "aggs": aggs,
+            "distinct": distinct,
+            "group_by": group_by,
+            "having": having,
+            "offset": offset,
+        }
 
     # -- compilation ---------------------------------------------------
     def _compile_pattern(self, p: _Pattern) -> tuple[DataFrame, set[str]]:
@@ -315,23 +396,40 @@ class SparqlEngine:
         return out, set(var_cols)
 
     def _compile_group(self, g: _Group) -> DataFrame:
-        if not g.patterns and not g.optionals:
+        if not g.patterns and not g.optionals and not g.unions:
             raise SparqlError("empty group")
         df: DataFrame | None = None
+
+        def natural(df, other, how="inner"):
+            if df is None:
+                return other
+            common = sorted(set(df.columns) & set(other.columns))
+            if not common:
+                return df.crossJoin(other)
+            return df.join(other, on=common, how=how)
+
         for p in g.patterns:
             pdf, _ = self._compile_pattern(p)
-            if df is None:
-                df = pdf
-            else:
-                common = sorted(set(df.columns) & set(pdf.columns))
-                df = df.join(pdf, on=common) if common else df.crossJoin(pdf)
+            df = natural(df, pdf)
+        for chain in g.unions:
+            # { g1 } UNION { g2 } …: bag union with NULL-padded disjoint
+            # vars (SPARQL solution-set semantics), then natural-joined
+            # with the rest of the group
+            parts = [self._compile_group(sub) for sub in chain]
+            u = parts[0]
+            for p2 in parts[1:]:
+                u = u.unionByName(p2, allowMissingColumns=True)
+            df = natural(df, u)
         for opt in g.optionals:
-            odf = self._compile_group(opt)
-            if df is None:
-                df = odf
-            else:
-                common = sorted(set(df.columns) & set(odf.columns))
-                df = df.join(odf, on=common, how="left") if common else df.crossJoin(odf)
+            df = natural(df, self._compile_group(opt), how="left")
+        for negated, sub in g.exists:
+            # EXISTS / NOT EXISTS → left-semi / left-anti join on the
+            # shared variables (Catalyst's native existential joins)
+            sdf = self._compile_group(sub)
+            common = sorted(set(df.columns) & set(sdf.columns))
+            if not common:
+                raise SparqlError("EXISTS group shares no variables with the outer group")
+            df = df.join(sdf, on=common, how="left_anti" if negated else "left_semi")
         for flt in g.filters:
             df = df.filter(self._filter_to_column(flt, set(df.columns)))
         return df
@@ -399,20 +497,57 @@ class SparqlEngine:
             raise SparqlError(f"unsupported FILTER function {name}")
         raise SparqlError(f"bad FILTER node {ast!r}")
 
+    def _agg_column(self, a: _Agg):
+        if a.var is None:  # COUNT(*)
+            return F.count(F.lit(1)).alias(a.alias)
+        col = F.col(a.var)
+        if a.func in ("sum", "avg"):  # numeric aggregate over string storage
+            col = col.try_cast("double")
+        if a.func == "count":
+            agg = F.count_distinct(col) if a.distinct else F.count(col)
+        else:
+            if a.distinct and a.func == "sum":
+                agg = F.sum_distinct(col)
+            else:
+                agg = getattr(F, a.func)(col)
+        return agg.alias(a.alias)
+
     def execute(self, query: str) -> DataFrame:
-        proj, star, group, order, limit = self.parse(query)
+        proj, star, group, order, limit, extras = self.parse(query)
         df = self._compile_group(group)
+        aggs, group_by = extras["aggs"], extras["group_by"]
+        if aggs or group_by:
+            keys = group_by or proj  # bare projected vars double as keys
+            for v in proj:
+                if v not in keys:
+                    raise SparqlError(
+                        f"?{v} projected but neither aggregated nor grouped"
+                    )
+            agged = (
+                df.groupBy(*keys) if keys else df.groupBy()
+            ).agg(*[self._agg_column(a) for a in aggs])
+            if extras["having"] is not None:
+                agged = agged.filter(
+                    self._filter_to_column(extras["having"], set(agged.columns))
+                )
+            df = agged.select(*(proj + [a.alias for a in aggs]))
+        else:
+            if star:
+                df = df.select(*sorted(df.columns))
+            elif proj:
+                missing = [v for v in proj if v not in df.columns]
+                for v in missing:  # unbound projection vars → NULL (SPARQL)
+                    df = df.withColumn(v, F.lit(None).cast("string"))
+                df = df.select(*proj)
+        # SPARQL clause application order: … → DISTINCT → ORDER → OFFSET/LIMIT
+        if extras["distinct"]:
+            df = df.distinct()
         if order:
             df = df.orderBy(
                 *[F.col(v).desc() if desc else F.col(v).asc() for v, desc in order]
             )
-        if star:
-            df = df.select(*sorted(df.columns))
-        elif proj:
-            missing = [v for v in proj if v not in df.columns]
-            for v in missing:  # unbound projection vars → NULL (SPARQL semantics)
-                df = df.withColumn(v, F.lit(None).cast("string"))
-            df = df.select(*proj)
+        if extras["offset"] is not None:
+            df = df.offset(extras["offset"])
         if limit is not None:
             df = df.limit(limit)
         return df
