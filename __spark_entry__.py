@@ -191,6 +191,19 @@ def q_kg_sparql_union(spark, sf):
     return execute_sparql(_graph(spark, sf), q)
 
 
+def q_kg_sparql_construct(spark, sf):
+    """SPARQL CONSTRUCT (round-3 extension): graph-producing query —
+    template instantiation per solution, unbound rows dropped, distinct
+    set semantics; compiles to a union of narrow projections."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    CONSTRUCT {{ ?d kg:summaryLang ?l }} WHERE {{ ?d kg:hasLang ?l }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
 def q_kg_traversal_2hop(spark, sf):
     from rdf_knowledge_extractor_spark.operators.traversal import find_related_entities
 
@@ -622,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_bgp": q_kg_sparql_bgp,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
+        "kg_sparql_construct": q_kg_sparql_construct,
         "kg_traversal_2hop": q_kg_traversal_2hop,
         "kg_validation_filter": q_kg_validation_filter,
         "kg_validation_issues": q_kg_validation_issues,
@@ -762,6 +776,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT object AS v FROM g WHERE predicate = '{NS}hasLang'
             UNION ALL
             SELECT object AS v FROM g WHERE predicate = '{NS}hasName'
+        """,
+        "kg_sparql_construct": f"""
+            SELECT DISTINCT subject,
+                   '{NS}summaryLang' AS predicate,
+                   object
+            FROM ({dedup}) WHERE predicate = '{NS}hasLang'
         """,
         "kg_traversal_2hop": f"""
             WITH g AS ({dedup}),

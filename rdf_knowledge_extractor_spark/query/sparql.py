@@ -10,11 +10,14 @@ Two engines:
 2. `SparqlEngine` — a real mini-SPARQL front-end the reference never
    had (its templates carry real queries that the fake engine ignores,
    e.g. ref:templates/sales_target_companies.yaml:12-24 with OPTIONAL
-   / ORDER BY DESC / LIMIT).  Supported subset: PREFIX, SELECT ?v…|*,
+   / ORDER BY DESC / LIMIT).  Supported subset: PREFIX,
+   SELECT [DISTINCT] ?v…|*| (AGG(?v) AS ?a), CONSTRUCT { … } WHERE,
    basic graph patterns with `;` predicate lists and `a` = rdf:type,
-   OPTIONAL { … }, FILTER(…) with =/!=/</<=/>/>= (numeric-coercing),
-   ||/&&/!, CONTAINS/STRSTARTS/STRENDS/REGEX/BOUND,
-   ORDER BY (ASC|DESC)(?v), LIMIT n.  Compilation is
+   OPTIONAL { … }, { … } UNION { … }, FILTER(…) with =/!=/</<=/>/>=
+   (numeric-coercing), ||/&&/!, CONTAINS/STRSTARTS/STRENDS/REGEX/BOUND,
+   FILTER (NOT) EXISTS { … } (→ left-semi/anti joins),
+   COUNT/SUM/MIN/MAX/AVG with GROUP BY + HAVING,
+   ORDER BY (ASC|DESC)(?v), LIMIT n, OFFSET n.  Compilation is
    classic BGP-as-self-joins: one aliased scan of the triples table
    per pattern, equi-joined on shared variables; OPTIONAL groups are
    left joins.  Catalyst then does join reordering/pushdown; a
@@ -145,7 +148,10 @@ class SparqlEngine:
                 raise SparqlError("PREFIX needs <uri>")
             prefixes[pname.rstrip(":").split(":")[0]] = uri[1:-1]
 
-        expect("SELECT")
+        form = take()
+        if form is None or form.upper() not in ("SELECT", "CONSTRUCT"):
+            raise SparqlError(f"expected SELECT or CONSTRUCT, got {form!r}")
+        is_construct = form.upper() == "CONSTRUCT"
         proj: list[str] = []
         aggs: list[_Agg] = []
         star = False
@@ -154,7 +160,7 @@ class SparqlEngine:
         if peek() and peek().upper() == "DISTINCT":
             take()
             distinct = True
-        while peek() and peek().upper() != "WHERE":
+        while not is_construct and peek() and peek().upper() != "WHERE":
             t = take()
             if t == "*":
                 star = True
@@ -188,7 +194,8 @@ class SparqlEngine:
                 aggs.append(_Agg(fn.lower(), var, agg_distinct, alias[1:]))
             else:
                 raise SparqlError(f"bad projection term {t!r}")
-        expect("WHERE")
+        if not is_construct:
+            expect("WHERE")
 
         def resolve(term: str) -> str:
             if term == "a":
@@ -326,6 +333,15 @@ class SparqlEngine:
             expect("}")
             return g
 
+        template: list[_Pattern] = []
+        if is_construct:
+            tgroup = parse_group()
+            if tgroup.optionals or tgroup.filters or tgroup.unions or tgroup.exists:
+                raise SparqlError("CONSTRUCT template takes plain triple patterns only")
+            template = tgroup.patterns
+            if not template:
+                raise SparqlError("empty CONSTRUCT template")
+            expect("WHERE")
         group = parse_group()
 
         order: list[tuple[str, bool]] = []  # (var, descending)
@@ -372,6 +388,7 @@ class SparqlEngine:
             "group_by": group_by,
             "having": having,
             "offset": offset,
+            "construct": template,
         }
 
     # -- compilation ---------------------------------------------------
@@ -497,6 +514,45 @@ class SparqlEngine:
             raise SparqlError(f"unsupported FILTER function {name}")
         raise SparqlError(f"bad FILTER node {ast!r}")
 
+    def _execute_construct(
+        self, solutions: DataFrame, template: list[_Pattern], limit: int | None
+    ) -> DataFrame:
+        """CONSTRUCT: instantiate each template triple per solution row,
+        drop instantiations with unbound terms (SPARQL semantics), and
+        distinct the result — a graph is a SET of triples.  Compiles to
+        a union of narrow projections over the one solution DataFrame."""
+        cols = set(solutions.columns)
+
+        def term_col(term: str):
+            if term.startswith("?"):
+                var = term[1:]
+                if var not in cols:
+                    return F.lit(None).cast("string")
+                return F.col(var)
+            if term.startswith("\0LIT"):
+                return F.lit(term[4:])
+            return F.lit(term)
+
+        parts = [
+            solutions.select(
+                term_col(p.s).alias("subject"),
+                term_col(p.p).alias("predicate"),
+                term_col(p.o).alias("object"),
+            )
+            for p in template
+        ]
+        out = parts[0]
+        for p2 in parts[1:]:
+            out = out.unionByName(p2)
+        out = out.filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        ).distinct()
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
     def _agg_column(self, a: _Agg):
         if a.var is None:  # COUNT(*)
             return F.count(F.lit(1)).alias(a.alias)
@@ -515,6 +571,8 @@ class SparqlEngine:
     def execute(self, query: str) -> DataFrame:
         proj, star, group, order, limit, extras = self.parse(query)
         df = self._compile_group(group)
+        if extras["construct"]:
+            return self._execute_construct(df, extras["construct"], limit)
         aggs, group_by = extras["aggs"], extras["group_by"]
         if aggs or group_by:
             keys = group_by or proj  # bare projected vars double as keys
@@ -564,7 +622,7 @@ def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
     propagate its parse error instead of silently degrading to a full
     graph dump, which would feed templates wrong data as a "success".
     """
-    if not query.strip().lower().startswith(("select", "prefix")):
+    if not query.strip().lower().startswith(("select", "prefix", "construct")):
         raise SparqlError(
             "Only SELECT queries are supported in this simplified implementation"
         )

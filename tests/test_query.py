@@ -368,3 +368,42 @@ def test_sparql_exists_requires_shared_vars(graph):
             SELECT ?name WHERE {{
               ?e kg:hasName ?name . FILTER EXISTS {{ ?z kg:hasRevenue ?x }} }}""",
         )
+
+
+def test_sparql_construct_basic(graph):
+    q = f"""PREFIX kg: <{NS}>
+    CONSTRUCT {{ ?e kg:label ?name . ?e kg:kind <{NS}Org> }}
+    WHERE {{ ?e kg:hasName ?name }}"""
+    rows = {(r.subject, r.predicate, r.object) for r in execute_sparql(graph, q).collect()}
+    assert rows == {
+        (R + "Acme", NS + "label", "Acme Corp"),
+        (R + "Beta", NS + "label", "Beta Inc"),
+        (R + "Acme", NS + "kind", NS + "Org"),
+        (R + "Beta", NS + "kind", NS + "Org"),
+    }
+
+
+def test_sparql_construct_unbound_optional_dropped(graph):
+    # revenue is OPTIONAL and only Beta has one: Acme's revenue triple
+    # instantiation is unbound → omitted (SPARQL CONSTRUCT semantics)
+    q = f"""PREFIX kg: <{NS}>
+    CONSTRUCT {{ ?e kg:rev ?r }}
+    WHERE {{ ?e kg:hasName ?n . OPTIONAL {{ ?e kg:hasRevenue ?r }} }}"""
+    rows = [(r.subject, r.object) for r in execute_sparql(graph, q).collect()]
+    assert rows == [(R + "Beta", "$10M")]
+
+
+def test_sparql_construct_is_a_set(graph):
+    # two bindings instantiate the SAME constant triple → one row
+    q = f"""PREFIX kg: <{NS}>
+    CONSTRUCT {{ <{R}All> kg:exists "y" }} WHERE {{ ?e kg:hasName ?n }}"""
+    assert execute_sparql(graph, q).count() == 1
+
+
+def test_sparql_construct_template_rejects_filters(graph):
+    with pytest.raises(SparqlError, match="template"):
+        execute_sparql(
+            graph,
+            f"""PREFIX kg: <{NS}>
+            CONSTRUCT {{ ?e kg:x ?n . FILTER(?n = "y") }} WHERE {{ ?e kg:hasName ?n }}""",
+        )
