@@ -175,3 +175,24 @@ def test_pipeline_commit_to_store_idempotent(spark, example_config, tmp_path):
     graph2 = pipe2.run(pages)
     assert pipe2.commit_to_store(graph2, store_root) == added
     assert TripleStore(spark, store_root).read().count() == n
+
+
+def test_pyfiles_zip_is_reproducible_and_complete(tmp_path):
+    """spark-submit packaging (tools/make_pyfiles.py): byte-identical
+    rebuilds, package-only contents, importable module set."""
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "tools")
+    try:
+        from make_pyfiles import build
+    finally:
+        sys.path.pop(0)
+
+    z1 = build(str(tmp_path / "a.zip"))
+    z2 = build(str(tmp_path / "b.zip"))
+    assert open(z1, "rb").read() == open(z2, "rb").read()
+    names = zipfile.ZipFile(z1).namelist()
+    assert all(n.startswith("rdf_knowledge_extractor_spark/") for n in names)
+    assert "rdf_knowledge_extractor_spark/plans/store.py" in names
+    assert not any("__pycache__" in n or n.endswith(".pyc") for n in names)
