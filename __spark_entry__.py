@@ -204,6 +204,20 @@ def q_kg_sparql_construct(spark, sf):
     return execute_sparql(_graph(spark, sf), q)
 
 
+def q_kg_sparql_path(spark, sf):
+    """SPARQL property path (round-3 extension): sequence path
+    `belongsTo/hasName` compiles to an equi-join chain on the
+    intermediate node — Catalyst pushes both predicate constants into
+    the scans and picks the join strategy."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?d ?n WHERE {{ ?d kg:belongsTo/kg:hasName ?n }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
 def q_kg_traversal_2hop(spark, sf):
     from rdf_knowledge_extractor_spark.operators.traversal import find_related_entities
 
@@ -636,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_construct": q_kg_sparql_construct,
+        "kg_sparql_path": q_kg_sparql_path,
         "kg_traversal_2hop": q_kg_traversal_2hop,
         "kg_validation_filter": q_kg_validation_filter,
         "kg_validation_issues": q_kg_validation_issues,
@@ -776,6 +791,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT object AS v FROM g WHERE predicate = '{NS}hasLang'
             UNION ALL
             SELECT object AS v FROM g WHERE predicate = '{NS}hasName'
+        """,
+        "kg_sparql_path": f"""
+            WITH g AS ({dedup})
+            SELECT a.subject AS d, b.object AS n
+            FROM g a JOIN g b ON a.object = b.subject
+            WHERE a.predicate = '{NS}belongsTo' AND b.predicate = '{NS}hasName'
         """,
         "kg_sparql_construct": f"""
             SELECT DISTINCT subject,

@@ -99,7 +99,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
   | (?P<kw>[A-Za-z_][\w]*)
   | (?P<num>-?\d+(?:\.\d+)?)
-  | (?P<op>\|\||&&|!=|<=|>=|=|<|>|!)
+  | (?P<op>\|\||&&|!=|<=|>=|=|<|>|!|\||\^|/)
   | (?P<punct>[{}().;,*])
     """,
     re.X,
@@ -277,6 +277,42 @@ class SparqlEngine:
 
             return p_or()
 
+        def parse_path():
+            """SPARQL 1.1 property-path subset in predicate position:
+            alt := seq ('|' seq)* ; seq := elt ('/' elt)* ;
+            elt := '^'? primary ; primary := IRI | 'a' | '(' alt ')'.
+            Returns a plain resolved term for the trivial case."""
+
+            def p_primary():
+                if peek() == "(":
+                    take()
+                    node = p_alt()
+                    expect(")")
+                    return node
+                return resolve(take())
+
+            def p_elt():
+                if peek() == "^":
+                    take()
+                    return ("pinv", p_primary())
+                return p_primary()
+
+            def p_seq():
+                parts = [p_elt()]
+                while peek() == "/":
+                    take()
+                    parts.append(p_elt())
+                return parts[0] if len(parts) == 1 else ("pseq", parts)
+
+            def p_alt():
+                parts = [p_seq()]
+                while peek() == "|":
+                    take()
+                    parts.append(p_seq())
+                return parts[0] if len(parts) == 1 else ("palt", parts)
+
+            return p_alt()
+
         def parse_group() -> _Group:
             nonlocal pos
             expect("{")
@@ -314,7 +350,7 @@ class SparqlEngine:
                     continue
                 subj = resolve(take())
                 while True:
-                    pred = resolve(take())
+                    pred = parse_path()
                     while True:
                         obj = resolve(take())
                         g.patterns.append(_Pattern(subj, pred, obj))
@@ -341,6 +377,8 @@ class SparqlEngine:
             template = tgroup.patterns
             if not template:
                 raise SparqlError("empty CONSTRUCT template")
+            if any(isinstance(p.p, tuple) for p in template):
+                raise SparqlError("CONSTRUCT template cannot contain property paths")
             expect("WHERE")
         group = parse_group()
 
@@ -392,7 +430,64 @@ class SparqlEngine:
         }
 
     # -- compilation ---------------------------------------------------
+    def _path_df(self, node) -> DataFrame:
+        """Property path → (_src, _dst) endpoint pairs.  Spark-first:
+        sequence = equi-join chain on the intermediate node, inverse =
+        column swap, alternative = bag union — Catalyst reorders the
+        joins and pushes the predicate constants into each scan."""
+        if isinstance(node, str):
+            if node.startswith("?") or node.startswith("\0LIT"):
+                raise SparqlError("property path elements must be IRIs")
+            return self.graph.filter(F.col("predicate") == node).select(
+                F.col("subject").alias("_src"), F.col("object").alias("_dst")
+            )
+        kind = node[0]
+        if kind == "pinv":
+            d = self._path_df(node[1])
+            return d.select(
+                F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
+            )
+        if kind == "pseq":
+            cur = self._path_df(node[1][0])
+            for elt in node[1][1:]:
+                nxt = self._path_df(elt).select(
+                    F.col("_src").alias("_mid"), F.col("_dst").alias("_nd")
+                )
+                cur = cur.join(nxt, F.col("_dst") == F.col("_mid")).select(
+                    "_src", F.col("_nd").alias("_dst")
+                )
+            return cur
+        if kind == "palt":
+            parts = [self._path_df(x) for x in node[1]]
+            out = parts[0]
+            for p2 in parts[1:]:
+                out = out.unionByName(p2)
+            return out
+        raise SparqlError(f"bad path node {node!r}")
+
+    def _compile_path_pattern(self, p: _Pattern) -> tuple[DataFrame, set[str]]:
+        df = self._path_df(p.p)
+        var_cols: dict[str, str] = {}
+        for term, col in ((p.s, "_src"), (p.o, "_dst")):
+            if term.startswith("?"):
+                var = term[1:]
+                if var in var_cols:
+                    df = df.filter(F.col(col) == F.col(var_cols[var]))
+                else:
+                    var_cols[var] = col
+            elif term.startswith("\0LIT"):
+                df = df.filter(F.col(col) == term[4:])
+            else:
+                df = df.filter(F.col(col) == term)
+        if var_cols:
+            out = df.select(*[F.col(c).alias(v) for v, c in var_cols.items()])
+        else:
+            out = df.select(F.lit(1).alias("_one")).limit(1)
+        return out, set(var_cols)
+
     def _compile_pattern(self, p: _Pattern) -> tuple[DataFrame, set[str]]:
+        if isinstance(p.p, tuple):  # property path in predicate position
+            return self._compile_path_pattern(p)
         df = self.graph
         var_cols: dict[str, str] = {}  # var name → first source column
         for term, col in ((p.s, "subject"), (p.p, "predicate"), (p.o, "object")):

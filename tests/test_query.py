@@ -407,3 +407,59 @@ def test_sparql_construct_template_rejects_filters(graph):
             f"""PREFIX kg: <{NS}>
             CONSTRUCT {{ ?e kg:x ?n . FILTER(?n = "y") }} WHERE {{ ?e kg:hasName ?n }}""",
         )
+
+
+# -- property paths ------------------------------------------------------
+
+def test_sparql_path_sequence(graph):
+    # Jane --worksFor--> Acme --hasName--> "Acme Corp"
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?who ?org WHERE {{ ?who kg:worksFor/kg:hasName ?org }}"""
+    assert [(r.who, r.org) for r in execute_sparql(graph, q).collect()] == [
+        (R + "Jane", "Acme Corp")
+    ]
+
+
+def test_sparql_path_inverse(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?org WHERE {{ <{R}Jane> kg:worksFor ?org }}"""
+    fwd = [r.org for r in execute_sparql(graph, q).collect()]
+    q_inv = f"""PREFIX kg: <{NS}>
+    SELECT ?who WHERE {{ <{R}Acme> ^kg:worksFor ?who }}"""
+    inv = [r.who for r in execute_sparql(graph, q_inv).collect()]
+    assert fwd == [R + "Acme"] and inv == [R + "Jane"]
+
+
+def test_sparql_path_alternative(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?v WHERE {{ <{R}Beta> (kg:hasName|kg:hasRevenue) ?v }}"""
+    assert sorted(r.v for r in execute_sparql(graph, q).collect()) == [
+        "$10M", "Beta Inc"
+    ]
+
+
+def test_sparql_path_inverse_then_seq(graph):
+    # name of anyone working for the org named by ?org: Acme's worker's role
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?role WHERE {{ <{R}Acme> ^kg:worksFor/kg:hasRole ?role }}"""
+    assert [r.role for r in execute_sparql(graph, q).collect()] == ["CEO"]
+
+
+def test_sparql_path_joins_with_plain_patterns(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?who ?score WHERE {{
+      ?who kg:worksFor/kg:hasPriorityScore ?score .
+      ?who kg:hasRole "CEO" .
+    }}"""
+    assert [(r.who, r.score) for r in execute_sparql(graph, q).collect()] == [
+        (R + "Jane", "90")
+    ]
+
+
+def test_sparql_construct_rejects_paths_in_template(graph):
+    with pytest.raises(SparqlError, match="property paths"):
+        execute_sparql(
+            graph,
+            f"""PREFIX kg: <{NS}>
+            CONSTRUCT {{ ?a kg:x/kg:y ?b }} WHERE {{ ?a kg:hasName ?b }}""",
+        )
