@@ -64,3 +64,41 @@ def test_unbucketed_same_join_does_exchange(spark):
         assert "Exchange" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sparql_bgp_on_bucketed_graph_is_exchange_free(spark, tmp_path):
+    """The SPARQL engine's subject-star BGP self-join inherits bucket
+    co-location THROUGH its variable aliasing: on a subject-bucketed
+    graph table the whole query plans with ZERO Exchange nodes
+    (broadcast disabled to force the join to prove co-location)."""
+    from rdf_knowledge_extractor_spark.plans.bucketing import (
+        bucketed_graph,
+        write_bucketed_graph,
+    )
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ns = "http://e/"
+        rows = [
+            (f"{ns}s{i}", ns + ("hasName" if i % 2 else "hasRole"), f"v{i}")
+            for i in range(100)
+        ] + [(f"{ns}s{i}", ns + "hasLang", "en") for i in range(100)]
+        g = spark.createDataFrame(
+            rows, "subject string, predicate string, object string"
+        )
+        write_bucketed_graph(g, "g_sparql_bucketed", buckets=8)
+        bg = bucketed_graph(spark, "g_sparql_bucketed")
+        q = (
+            f"PREFIX kg: <{ns}> "
+            "SELECT ?s ?n ?l WHERE { ?s kg:hasName ?n ; kg:hasLang ?l }"
+        )
+        df = execute_sparql(bg, q)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert df.count() == 50
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS g_sparql_bucketed")
