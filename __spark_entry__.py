@@ -525,6 +525,15 @@ def q_corpus_curate(spark, sf):
     return curate_corpus(_docs(spark, sf), lang="en", min_words=10)
 
 
+def q_corpus_repetition(spark, sf):
+    """Gopher-style repetition/boilerplate metrics (round 3): duplicate
+    -line fractions + bullet/ellipsis ratios — two map-side-combined
+    hash aggregates, no windows, no UDFs."""
+    from rdf_knowledge_extractor_spark.operators.curation import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf))
+
+
 def q_corpus_top_terms(spark, sf):
     from rdf_knowledge_extractor_spark.operators.curation import top_terms
 
@@ -680,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q_corpus_sample,
         "corpus_quota": q_corpus_quota,
         "corpus_curate": q_corpus_curate,
+        "corpus_repetition": q_corpus_repetition,
         "corpus_top_terms": q_corpus_top_terms,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1152,6 +1162,31 @@ def oracle_sql() -> dict[str, str]:
     # text_quality shares the word/stopword arithmetic — built separately
     qm["text_quality"] = _text_quality_sql()
     qm["corpus_curate"] = _curate_sql()
+    qm["corpus_repetition"] = r"""
+        WITH lines AS (
+          SELECT doc_id, line FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents
+          ) WHERE trim(line) <> ''
+        ),
+        per_line AS (
+          SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line
+        )
+        SELECT doc_id,
+          CAST(SUM(cnt) AS BIGINT) AS n_lines,
+          round((SUM(cnt) - count(*)) / CAST(SUM(cnt) AS DOUBLE), 4)
+            AS dup_line_frac,
+          round(SUM((cnt - 1) * length(line))
+                / CAST(SUM(cnt * length(line)) AS DOUBLE), 4)
+            AS dup_line_char_frac,
+          round(SUM(CASE WHEN regexp_matches(line, '^\s*([-*•‣◦]|[0-9]+[.)])\s')
+                         THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 4)
+            AS bullet_line_frac,
+          round(SUM(CASE WHEN regexp_matches(line, '(\.\.\.|…)\s*$')
+                         THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 4)
+            AS ellipsis_line_frac
+        FROM per_line GROUP BY doc_id
+    """
     qm["text_quality_percentiles"] = f"""
         WITH {_quality_ctes("documents")},
         q AS ({_QUALITY_SELECT.strip()}),

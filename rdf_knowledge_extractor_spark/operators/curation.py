@@ -241,3 +241,57 @@ def quality_percentiles(
     return scored.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"), *[pct(q) for q in quantiles]
     )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document:
+
+    - ``n_lines``            non-empty line count
+    - ``dup_line_frac``      fraction of non-empty lines that repeat an
+                             earlier line (1 - distinct/total)
+    - ``dup_line_char_frac`` fraction of line characters living in
+                             repeated occurrences (Σ (cnt-1)·len / Σ cnt·len)
+    - ``bullet_line_frac``   lines starting with a bullet marker
+    - ``ellipsis_line_frac`` lines ending in '...' or '…'
+
+    Shape: posexplode lines → one (id, line)-keyed partial-agg shuffle →
+    one id-keyed agg. Both aggregations get map-side combine; no UDFs,
+    no windows — the plan survives 100× scale-up with cost O(lines).
+    Empty/whitespace-only lines are dropped first (boilerplate markers
+    measure CONTENT lines).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).where(F.trim(F.col("_line")) != "")
+    per_line = lines.groupBy(id_col, "_line").agg(F.count(F.lit(1)).alias("_cnt"))
+    bullet = F.col("_line").rlike(r"^\s*([-*•‣◦]|\d+[.)])\s")
+    ellipsis = F.col("_line").rlike(r"(\.\.\.|…)\s*$")
+    return (
+        per_line.groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_lines"),
+            F.round(
+                (F.sum("_cnt") - F.count(F.lit(1))) / F.sum("_cnt"), 4
+            ).alias("dup_line_frac"),
+            F.round(
+                F.sum((F.col("_cnt") - 1) * F.length("_line"))
+                / F.sum(F.col("_cnt") * F.length("_line")),
+                4,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.sum(F.when(bullet, F.col("_cnt")).otherwise(0)) / F.sum("_cnt"), 4
+            ).alias("bullet_line_frac"),
+            F.round(
+                F.sum(F.when(ellipsis, F.col("_cnt")).otherwise(0)) / F.sum("_cnt"), 4
+            ).alias("ellipsis_line_frac"),
+        )
+        .select(
+            id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "bullet_line_frac", "ellipsis_line_frac",
+        )
+    )

@@ -212,3 +212,41 @@ def test_quality_percentiles_approx_close_to_exact(spark):
             hi_v = getattr(hi[lang], f"p{round(min(q + 0.01, 1.0) * 100)}")
             v = getattr(a, col_a)
             assert lo_v - eps <= v <= hi_v + eps, (lang, col_a, lo_v, v, hi_v)
+
+
+def test_repetition_metrics_gopher_signals(spark):
+    from rdf_knowledge_extractor_spark.operators.curation import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nunique two\nunique three"),
+            (2, "same line\nsame line\nsame line\nother"),
+            (3, "- bullet a\n- bullet b\nplain text here"),
+            (4, "read more...\nnormal line\ncontinues…"),
+            (5, "   \n\n  \nonly real line"),  # whitespace lines dropped
+        ],
+        "doc_id long, text string",
+    )
+    m = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    assert m[1].dup_line_frac == 0.0 and m[1].n_lines == 3
+    assert m[2].n_lines == 4
+    assert m[2].dup_line_frac == 0.5          # 2 repeats / 4 lines
+    # repeated chars: 2 extra * len('same line')=9 → 18 / (3*9 + 5)=32
+    assert m[2].dup_line_char_frac == round(18 / 32, 4)
+    assert m[3].bullet_line_frac == round(2 / 3, 4)
+    assert m[4].ellipsis_line_frac == round(2 / 3, 4)
+    assert m[5].n_lines == 1
+
+
+def test_repetition_metrics_plan_two_hash_aggs_no_window(spark):
+    from rdf_knowledge_extractor_spark.operators.curation import repetition_metrics
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        repetition_metrics(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
