@@ -705,12 +705,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _lang_scores_sql() -> str:
-    markers = {
-        "en": [" the ", " and ", " of "],
-        "de": [" der ", " und ", " die "],
-        "fr": [" le ", " et ", " les "],
-        "es": [" el ", " y ", " los "],
-    }
+    # derived from the ENGINE's marker dict so the oracle can never
+    # drift from the implementation when languages are added
+    from rdf_knowledge_extractor_spark.functions.text_analysis import LANG_MARKERS
+
+    markers = LANG_MARKERS
 
     def occ(m):
         return (
@@ -1257,13 +1256,14 @@ def _text_quality_sql(relation: str = "documents") -> str:
 
 
 def _lang_pred_case() -> str:
-    return (
-        "CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
-        "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
-        "WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de' "
-        "WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr' "
-        "ELSE 'es' END"
-    )
+    # CASE checks in dict order = earliest-language tie-break, matching
+    # the engine's array_max argmax exactly
+    from rdf_knowledge_extractor_spark.functions.text_analysis import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    whens = " ".join(f"WHEN s_{l} = {g} THEN '{l}'" for l in langs[:-1])
+    return f"CASE WHEN {g} = 0 THEN 'und' {whens} ELSE '{langs[-1]}' END"
 
 
 def _curate_sql(

@@ -19,6 +19,9 @@ LANG_MARKERS: dict[str, list[str]] = {
     "de": [" der ", " und ", " die "],
     "fr": [" le ", " et ", " les "],
     "es": [" el ", " y ", " los "],
+    "it": [" il ", " che ", " per "],
+    "pt": [" não ", " uma ", " dos "],
+    "nl": [" het ", " een ", " van "],
 }
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]

@@ -250,3 +250,31 @@ def test_repetition_metrics_plan_two_hash_aggs_no_window(spark):
     )
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_langid_seven_languages(spark):
+    """Marker-set language ID across the extended language set; ties
+    break to the earliest dict entry; all-zero → 'und'."""
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        detect_language,
+    )
+    from pyspark.sql import functions as F
+
+    samples = [
+        ("en", "the cat and the dog of the house and the tree"),
+        ("de", "der hund und die katze und der vogel und die sonne"),
+        ("fr", "le chien et les chats et le soleil et les arbres"),
+        ("es", "el perro y los gatos y el sol y los arboles"),
+        ("it", "il cane che corre per il parco che vede per caso"),
+        ("pt", "uma casa dos santos não longe dos campos uma vez"),
+        ("nl", "het huis van een man van het dorp een keer van hier"),
+        ("und", "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(samples, "expected string, text string")
+    got = {
+        r.expected: r.pred
+        for r in df.select(
+            "expected", detect_language(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert got == {want: want for want, _ in samples}
