@@ -169,3 +169,46 @@ def streaming_curate(
         & (F.col("digit_ratio") <= max_digit_ratio)
         & (F.col("quality_score") >= min_quality)
     ).select(id_col, "lang_pred", "n_words", "quality_score")
+
+
+def start_attribution_sink(
+    purchases_stream: DataFrame,
+    clicks_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    on: str = "user",
+    ts_col: str = "ts",
+    tolerance_sec: float | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming as-of attribution: each micro-batch of purchases is
+    attributed to the latest prior click per key (operators/asof.py)
+    against a static/dimension clicks table.
+
+    Exactly-once via the idempotent-directory pattern: batch N writes
+    `out_path/batch=<N>` with overwrite, so a replayed batch rewrites
+    its own directory instead of appending duplicates.  Read the result
+    with `spark.read.parquet(out_path)` (directory glob).
+
+    Stream≡batch invariant (tested): the union of all batch outputs
+    equals `asof_join(all_purchases, clicks_df, …)` — per-batch
+    attribution is correct because the right side is static and the
+    as-of lookup for a left row depends only on that row and the right
+    table, never on other left rows.
+    """
+    from rdf_knowledge_extractor_spark.operators.asof import asof_join
+
+    def attribute(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df, clicks_df, on=on, ts_col=ts_col, tolerance_sec=tolerance_sec
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    writer = (
+        purchases_stream.writeStream.foreachBatch(attribute)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -185,3 +185,54 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
     # stream arrives in row order so first-arrival is also doc 0
     assert got == want
     assert len(got) == 8
+
+
+def test_streaming_attribution_equals_batch_asof(spark, tmp_path):
+    """foreachBatch as-of attribution: union of micro-batch outputs ==
+    the one-shot batch asof_join on the same data; replays idempotent
+    (per-batch overwrite directories)."""
+    from datetime import datetime
+
+    from rdf_knowledge_extractor_spark.operators.asof import asof_join
+    from rdf_knowledge_extractor_spark.streaming.ingest import (
+        start_attribution_sink,
+    )
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    clicks = spark.createDataFrame(
+        [("u1", ts(5), 100), ("u1", ts(20), 101), ("u2", ts(8), 102)],
+        "user string, ts timestamp, click_id long",
+    )
+    purchases = spark.createDataFrame(
+        [(1, "u1", ts(10)), (2, "u1", ts(25)), (3, "u2", ts(3)), (4, "u2", ts(50))],
+        "pid long, user string, ts timestamp",
+    )
+    src = str(tmp_path / "purchases")
+    purchases.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(purchases.schema).parquet(src)
+    )
+    out_dir = str(tmp_path / "attributed")
+    q = start_attribution_sink(
+        stream, clicks, out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir).drop("batch").collect())
+    )
+    want = sorted(map(tuple, asof_join(purchases, clicks, on="user").collect()))
+    assert got == want
+
+    # resume with the same checkpoint: no new batches, output unchanged
+    q2 = start_attribution_sink(
+        spark.readStream.schema(purchases.schema).parquet(src),
+        clicks, out_dir, str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert sorted(
+        map(tuple, spark.read.parquet(out_dir).drop("batch").collect())
+    ) == want
