@@ -552,6 +552,26 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_multimodal_audio(spark, sf):
+    """Real-mode WAV decode (functions/wav.py) over a deterministic
+    synthesized corpus; duration/RMS re-derived from the decoded
+    samples, oracle recomputes them in closed form from doc_id."""
+    from rdf_knowledge_extractor_spark.functions.multimodal import (
+        documents_as_audio,
+        extract_media_features,
+    )
+
+    media = documents_as_audio(_docs(spark, sf))
+    feats = extract_media_features(media, deterministic_fake=False, feature_dim=8)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        F.round(F.element_at("feature", 3).cast("double"), 4).alias("duration_sec"),
+        F.round(F.element_at("feature", 4).cast("double"), 4).alias("rms"),
+        "decoder",
+    )
+
+
 def q_events_hourly(spark, sf):
     return (
         _events(spark, sf)
@@ -692,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_repetition": q_corpus_repetition,
         "corpus_top_terms": q_corpus_top_terms,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -1109,6 +1130,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    md5(text) AS content_md5
+            FROM documents
+        """,
+        "multimodal_audio": """
+            -- closed forms of the synthesized WAV (documents_as_audio):
+            -- frames = (id%50+1)*160 @ 16 kHz mono 16-bit → 44-byte
+            -- header + 2 bytes/frame; constant amplitude (id%9+1)/10
+            -- quantized to int16 → RMS rounds back to the amplitude
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CAST(44 + ((doc_id % 50) + 1) * 160 * 2 AS BIGINT) AS byte_len,
+                   round(((doc_id % 50) + 1) * 160 / 16000.0, 4) AS duration_sec,
+                   round(((doc_id % 9) + 1) / 10.0, 4) AS rms,
+                   'wav-stdlib-v1' AS decoder
             FROM documents
         """,
         "events_hourly": """

@@ -21,6 +21,22 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _loadavg() -> list[float]:
+    with open("/proc/loadavg") as f:
+        return [float(x) for x in f.read().split()[:3]]
+
+
+def _steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies (field 8 of /proc/stat cpu line) —
+    the only guest-visible signal of host co-tenancy. NOTE: this box
+    shows steal <0.5% even during 4× slowdowns, so loadavg + per-rep
+    wall-clock timestamps are the primary noise evidence; steal is the
+    corroborating lower bound."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8]) if len(parts) > 8 else 0
+
+
 def _warm_up(spark, cpus: int) -> None:
     """JMH-style untimed warm-up of engine INFRASTRUCTURE only:
     the python worker pool (one numpy import per worker), the Arrow
@@ -108,13 +124,19 @@ def main() -> None:
     # drops every persisted intermediate — rep 2 re-reads, re-shuffles
     # and re-executes every UDF; only JVM JIT stays warm, which is the
     # steady state _warm_up already targets.
+    bench_t0 = time.monotonic()
+    load_start, steal_start = _loadavg(), _steal_jiffies()
     reps: dict[str, list[float]] = {name: [] for name in headline}
+    rep_stamps: dict[str, list[float]] = {name: [] for name in headline}
     for _rep in range(2):
         for name in headline:
             t0 = time.monotonic()
             df = qs[name](spark, sf_dir)
             n = df.count()  # force full execution
             reps[name].append(round(time.monotonic() - t0, 3))
+            # offset of each rep's start from bench start: lets a reader
+            # correlate a slow rep with a loadavg spike window
+            rep_stamps[name].append(round(t0 - bench_t0, 1))
             _ = n
         spark.catalog.clearCache()
     times: dict[str, float] = {name: min(r) for name, r in reps.items()}
@@ -182,6 +204,17 @@ def main() -> None:
             "triples_per_sec": round(n_triples / pipeline_sec, 1),
             "cpus": cpus,
             "query_reps": reps,  # all repetitions behind each min
+            # noise evidence (VERDICT r3 item 1b): loadavg before/after,
+            # cumulative steal delta over the run, and each rep's start
+            # offset (sec from bench start) so a slow rep can be matched
+            # against the load window it ran in
+            "noise": {
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
+                "steal_jiffies_delta": _steal_jiffies() - steal_start,
+                "bench_wall_sec": round(time.monotonic() - bench_t0, 1),
+                "rep_start_offsets": rep_stamps,
+            },
         },
     }
     spark.stop()

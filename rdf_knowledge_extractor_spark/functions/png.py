@@ -145,7 +145,11 @@ def encode_png(img: np.ndarray) -> bytes:
     arr = np.asarray(img, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise PngError(f"expected HxW or HxWxC array, got {arr.ndim} dims")
     h, w, c = arr.shape
+    if c not in (1, 2, 3, 4):
+        raise PngError(f"unsupported channel count {c} (expected 1-4)")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))

@@ -507,44 +507,144 @@ class SparqlEngine:
             out = df.select(F.lit(1).alias("_one")).limit(1)
         return out, set(var_cols)
 
-    def _compile_group(self, g: _Group) -> DataFrame:
+    # -- compatible-mapping join machinery ------------------------------
+    #
+    # SPARQL joins solutions by COMPATIBILITY: two solutions join iff for
+    # every shared variable, either side is unbound (NULL) or the values
+    # are equal, and the result binds coalesce(left, right).  A plain
+    # equi-join silently drops solutions whose join key is NULL — which
+    # happens exactly when a UNION branch or an OPTIONAL introduced the
+    # variable on only one side (round-3 advice, sparql.py:534).
+    #
+    # Each compiled group therefore carries a `maybe_null` set: the vars
+    # that can be NULL in some row.  Joins on definitely-bound vars stay
+    # equi-joins (hash/SMJ-able — the 100-TB path); only vars that are
+    # maybe-null on a side get the `isnull-or-equal` residual condition.
+
+    @staticmethod
+    def _compat_join(
+        left: DataFrame,
+        lmaybe: set[str],
+        right: DataFrame,
+        rmaybe: set[str],
+        how: str = "inner",
+    ) -> tuple[DataFrame, set[str]]:
+        common = sorted(set(left.columns) & set(right.columns))
+        lonly = [c for c in left.columns if c not in common]
+        ronly = [c for c in right.columns if c not in common]
+        if not common:
+            out = left.crossJoin(right)
+            maybe = set(lmaybe) | (set(right.columns) if how == "left" else set(rmaybe))
+            return out, maybe
+        eq = [c for c in common if c not in lmaybe and c not in rmaybe]
+        compat = [c for c in common if c in lmaybe or c in rmaybe]
+        if not compat:
+            out = left.join(right, on=common, how=how)
+        else:
+            ren = right
+            for c in common:
+                ren = ren.withColumnRenamed(c, "_r_" + c)
+            cond = F.lit(True)
+            for c in eq:
+                cond = cond & (F.col(c) == F.col("_r_" + c))
+            for c in compat:
+                cond = cond & (
+                    F.col(c).isNull()
+                    | F.col("_r_" + c).isNull()
+                    | (F.col(c) == F.col("_r_" + c))
+                )
+            joined = left.join(ren, on=cond, how=how)
+            out = joined.select(
+                *lonly,
+                *[F.col(c) for c in eq],
+                *[F.coalesce(F.col(c), F.col("_r_" + c)).alias(c) for c in compat],
+                *ronly,
+            )
+        maybe: set[str] = set()
+        for c in common:
+            if c in lmaybe and (how == "left" or c in rmaybe):
+                maybe.add(c)
+        maybe |= {c for c in lonly if c in lmaybe}
+        maybe |= set(ronly) if how == "left" else {c for c in ronly if c in rmaybe}
+        return out, maybe
+
+    @staticmethod
+    def _union_all(parts: list[tuple[DataFrame, set[str]]]) -> tuple[DataFrame, set[str]]:
+        """Bag union with NULL padding; a var is definitely bound only if
+        every branch binds it definitely."""
+        all_cols: set[str] = set()
+        for p, _ in parts:
+            all_cols |= set(p.columns)
+        bound_everywhere = set.intersection(
+            *[set(p.columns) - m for p, m in parts]
+        )
+        u = parts[0][0]
+        for p2, _ in parts[1:]:
+            u = u.unionByName(p2, allowMissingColumns=True)
+        return u, all_cols - bound_everywhere
+
+    def _compile_group(self, g: _Group) -> tuple[DataFrame, set[str]]:
         if not g.patterns and not g.optionals and not g.unions:
             raise SparqlError("empty group")
         df: DataFrame | None = None
-
-        def natural(df, other, how="inner"):
-            if df is None:
-                return other
-            common = sorted(set(df.columns) & set(other.columns))
-            if not common:
-                return df.crossJoin(other)
-            return df.join(other, on=common, how=how)
+        maybe: set[str] = set()
 
         for p in g.patterns:
             pdf, _ = self._compile_pattern(p)
-            df = natural(df, pdf)
+            df, maybe = (pdf, set()) if df is None else self._compat_join(
+                df, maybe, pdf, set()
+            )
         for chain in g.unions:
-            # { g1 } UNION { g2 } …: bag union with NULL-padded disjoint
-            # vars (SPARQL solution-set semantics), then natural-joined
-            # with the rest of the group
+            # { g1 } UNION { g2 } …  Joining the rest of the group with
+            # the union DISTRIBUTES over the branches —
+            # Join(A, Union(B₁,B₂)) ≡ Union(Join(A,B₁), Join(A,B₂)) for
+            # bag semantics — so each branch joins on only the vars IT
+            # binds (plain equi-joins, no NULL keys), and branch-padded
+            # NULLs can never collide with a join key.  The padded union
+            # happens after the per-branch joins.
             parts = [self._compile_group(sub) for sub in chain]
-            u = parts[0]
-            for p2 in parts[1:]:
-                u = u.unionByName(p2, allowMissingColumns=True)
-            df = natural(df, u)
+            if df is None:
+                df, maybe = self._union_all(parts)
+            else:
+                joined = [
+                    self._compat_join(df, maybe, p, m) for p, m in parts
+                ]
+                df, maybe = self._union_all(joined)
         for opt in g.optionals:
-            df = natural(df, self._compile_group(opt), how="left")
+            odf, omaybe = self._compile_group(opt)
+            if df is None:
+                df, maybe = odf, omaybe
+            else:
+                df, maybe = self._compat_join(df, maybe, odf, omaybe, how="left")
         for negated, sub in g.exists:
             # EXISTS / NOT EXISTS → left-semi / left-anti join on the
-            # shared variables (Catalyst's native existential joins)
-            sdf = self._compile_group(sub)
+            # shared variables (Catalyst's native existential joins);
+            # maybe-null shared vars get the compatibility condition
+            sdf, smaybe = self._compile_group(sub)
             common = sorted(set(df.columns) & set(sdf.columns))
             if not common:
                 raise SparqlError("EXISTS group shares no variables with the outer group")
-            df = df.join(sdf, on=common, how="left_anti" if negated else "left_semi")
+            how = "left_anti" if negated else "left_semi"
+            if not any(c in maybe or c in smaybe for c in common):
+                df = df.join(sdf, on=common, how=how)
+            else:
+                ren = sdf
+                for c in common:
+                    ren = ren.withColumnRenamed(c, "_r_" + c)
+                cond = F.lit(True)
+                for c in common:
+                    if c in maybe or c in smaybe:
+                        cond = cond & (
+                            F.col(c).isNull()
+                            | F.col("_r_" + c).isNull()
+                            | (F.col(c) == F.col("_r_" + c))
+                        )
+                    else:
+                        cond = cond & (F.col(c) == F.col("_r_" + c))
+                df = df.join(ren, on=cond, how=how)
         for flt in g.filters:
             df = df.filter(self._filter_to_column(flt, set(df.columns)))
-        return df
+        return df, maybe
 
     def _filter_to_column(self, ast, columns: set[str]):
         """FILTER AST → Catalyst Column.  Filters compile into the plan,
@@ -665,11 +765,27 @@ class SparqlEngine:
 
     def execute(self, query: str) -> DataFrame:
         proj, star, group, order, limit, extras = self.parse(query)
-        df = self._compile_group(group)
+        df, _maybe = self._compile_group(group)
         if extras["construct"]:
             return self._execute_construct(df, extras["construct"], limit)
         aggs, group_by = extras["aggs"], extras["group_by"]
-        if aggs or group_by:
+        if group_by and not aggs:
+            # GROUP BY with no aggregate in the projection: solution
+            # sequences collapse to the distinct grouping keys (SPARQL
+            # algebra Group/AggregateJoin with zero aggregates).  Without
+            # this arm, groupBy().agg() raises a raw PySpark
+            # AssertionError (round-3 advice, sparql.py:680).
+            for v in proj:
+                if v not in group_by:
+                    raise SparqlError(
+                        f"?{v} projected but neither aggregated nor grouped"
+                    )
+            df = df.select(*(proj or group_by)).distinct()
+            if extras["having"] is not None:
+                df = df.filter(
+                    self._filter_to_column(extras["having"], set(df.columns))
+                )
+        elif aggs or group_by:
             keys = group_by or proj  # bare projected vars double as keys
             for v in proj:
                 if v not in keys:

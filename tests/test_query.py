@@ -463,3 +463,99 @@ def test_sparql_construct_rejects_paths_in_template(graph):
             f"""PREFIX kg: <{NS}>
             CONSTRUCT {{ ?a kg:x/kg:y ?b }} WHERE {{ ?a kg:hasName ?b }}""",
         )
+
+
+# -- round-4: compatible-mapping joins (UNION/OPTIONAL NULL keys) --------
+
+@pytest.fixture(scope="module")
+def compat_graph(spark):
+    """Tiny graph for compatible-mapping join semantics (round-3 advice:
+    NULL-padded union vars natural-joined with later patterns silently
+    dropped solutions SPARQL keeps)."""
+    rows = [
+        ("urn:s1", NS + "p1", "urn:x1"),
+        ("urn:s2", NS + "p2", "urn:y2"),
+        ("urn:x1", NS + "p3", "urn:z1"),
+    ]
+    return spark.createDataFrame(rows, "subject string, predicate string, object string")
+
+
+def test_sparql_union_branch_var_joins_later_pattern(compat_graph):
+    # The advisor's live repro: the ?y branch binds no ?x, so its
+    # solutions are compatible with EVERY {?x p3 ?z} solution; the old
+    # equi-join on NULL ?x dropped them (1 row instead of 2).
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?s ?x ?y ?z WHERE {{
+      {{ ?s kg:p1 ?x }} UNION {{ ?s kg:p2 ?y }} .
+      ?x kg:p3 ?z
+    }}"""
+    rows = {(r.s, r.x, r.y, r.z) for r in execute_sparql(compat_graph, q).collect()}
+    assert rows == {
+        ("urn:s1", "urn:x1", None, "urn:z1"),
+        ("urn:s2", "urn:x1", "urn:y2", "urn:z1"),
+    }
+
+
+@pytest.fixture(scope="module")
+def compat_graph2(spark):
+    rows = [
+        ("urn:s1", NS + "p1", "urn:x1"),
+        ("urn:s2", NS + "p2", "urn:y2"),
+        ("urn:t1", NS + "p3", "urn:x1"),
+        ("urn:t2", NS + "p3", "urn:x9"),
+        ("urn:t3", NS + "p4", "urn:w3"),
+    ]
+    return spark.createDataFrame(rows, "subject string, predicate string, object string")
+
+
+def test_sparql_union_join_union_compatibility(compat_graph2):
+    # Both sides of the join carry maybe-null vars: ?x is bound by only
+    # one branch of EACH union.  Exercises the isnull-or-equal residual
+    # condition + coalesce path (not just join-over-union distribution).
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?s ?x ?y ?t ?w WHERE {{
+      {{ ?s kg:p1 ?x }} UNION {{ ?s kg:p2 ?y }} .
+      {{ ?t kg:p3 ?x }} UNION {{ ?t kg:p4 ?w }}
+    }}"""
+    rows = {
+        (r.s, r.x, r.y, r.t, r.w)
+        for r in execute_sparql(compat_graph2, q).collect()
+    }
+    assert rows == {
+        ("urn:s1", "urn:x1", None, "urn:t1", None),
+        ("urn:s1", "urn:x1", None, "urn:t3", "urn:w3"),
+        ("urn:s2", "urn:x1", "urn:y2", "urn:t1", None),
+        ("urn:s2", "urn:x9", "urn:y2", "urn:t2", None),
+        ("urn:s2", None, "urn:y2", "urn:t3", "urn:w3"),
+    }
+
+
+def test_sparql_optional_var_joins_later_union(compat_graph):
+    # OPTIONAL-introduced maybe-null var meeting a subsequent pattern
+    # via a union branch: same compatibility rule, left-join flavor.
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?s ?x ?z WHERE {{
+      ?s kg:p1 ?x .
+      OPTIONAL {{ ?x kg:p3 ?z }}
+    }}"""
+    rows = {(r.s, r.x, r.z) for r in execute_sparql(compat_graph, q).collect()}
+    assert rows == {("urn:s1", "urn:x1", "urn:z1")}
+
+
+def test_sparql_group_by_without_aggregate(graph):
+    # round-3 advice: used to crash with a raw PySpark AssertionError
+    q = """SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p"""
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    out = SparqlEngine(graph).execute(q)
+    assert out.columns == ["p"]
+    assert out.count() == 6
+
+
+def test_sparql_group_by_without_aggregate_projection_checked(graph):
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    with pytest.raises(SparqlError, match="grouped"):
+        SparqlEngine(graph).execute(
+            "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?p"
+        )

@@ -103,3 +103,71 @@ def test_manifest_is_the_only_visibility_point(store, spark, tmp_path):
     assert {r.subject for r in store.read().collect()} == {"s1"}
     m = json.loads((store.root / "manifest.json").read_text())
     assert "orphan" not in json.dumps(m["batches"])
+
+
+# -- round-4 hardening: flock'd commit, vacuum, footer counts ------------
+
+def test_vacuum_removes_crashed_orphans_keeps_committed(store, spark):
+    a = _triples(spark, [("s1", "p", "o1")])
+    store.insert_if_absent(a, "b1")
+    b = _triples(spark, [("s2", "p", "o2")])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.insert_if_absent(b, "b2", _crash_before_commit=True)
+    data = store.root / "data"
+    assert len(list(data.iterdir())) == 2  # committed + orphan
+    deleted = store.vacuum(min_age_sec=0)
+    assert len(deleted) == 1 and "b2" in deleted[0]
+    # committed data intact, retry still works
+    assert store.read().count() == 1
+    assert store.insert_if_absent(b, "b2") == 1
+    assert store.read().count() == 2
+
+
+def test_vacuum_retention_guard_skips_young_dirs(store, spark):
+    a = _triples(spark, [("s1", "p", "o1")])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.insert_if_absent(a, "b1", _crash_before_commit=True)
+    # default-ish retention: the just-written orphan is younger than the
+    # guard, so an operator running vacuum mid-commit deletes nothing
+    assert store.vacuum(min_age_sec=3600) == []
+    assert len(list((store.root / "data").iterdir())) == 1
+
+
+def test_concurrent_commit_serialized_by_lock(store, spark):
+    """Two writers racing the same expected_version: the lock forces
+    one check+swap to complete before the other starts, so exactly one
+    wins and the loser gets CommitConflict (not a silent lost commit)."""
+    import threading
+
+    a = _triples(spark, [("s1", "p", "o1")])
+    b = _triples(spark, [("s2", "p", "o2")])
+    store.insert_if_absent(a, "b1")
+    manifest = store._read_manifest()
+    ver = manifest["version"]
+    errors: list[Exception] = []
+
+    def commit(tag):
+        m = json.loads(json.dumps(manifest))
+        m["version"] += 1
+        m["batches"][tag] = {"path": f"/nonexistent/{tag}", "rows": 0, "added": 0}
+        try:
+            store._swap_manifest(m, ver)
+        except CommitConflict as e:
+            errors.append(e)
+
+    ts = [threading.Thread(target=commit, args=(t,)) for t in ("w1", "w2")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(errors) == 1  # exactly one loser, loudly
+    final = store._read_manifest()
+    assert final["version"] == ver + 1
+    assert ("w1" in final["batches"]) ^ ("w2" in final["batches"])
+
+
+def test_footer_row_count_matches_spark_count(store, spark):
+    rows = [(f"s{i}", "p", f"o{i}") for i in range(57)]
+    assert store.insert_if_absent(_triples(spark, rows), "big") == 57
+    assert store.read().count() == 57
+    assert store.total_rows() == 57
