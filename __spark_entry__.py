@@ -218,6 +218,38 @@ def q_kg_sparql_path(spark, sf):
     return execute_sparql(_graph(spark, sf), q)
 
 
+def q_kg_sparql_path_star(spark, sf):
+    """SPARQL transitive path `*` (round-4 extension): zero-or-more
+    hops over a deterministic doc-chain graph (lead() within
+    source/20-doc buckets caps chain length).  The engine lowers `+`/`*`
+    to the semi-naive frontier loop (query/sparql.py
+    _transitive_closure, same shape as operators/components.py); the
+    oracle recomputes the closure with DuckDB WITH RECURSIVE."""
+    from pyspark.sql import Window
+
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    docs = _docs(spark, sf).select("doc_id", "source")
+    w1 = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w1))
+    w2 = Window.partitionBy(
+        "source", F.floor((F.col("rn") - 1) / 20)
+    ).orderBy("doc_id")
+    chain = ranked.withColumn("next_id", F.lead("doc_id").over(w2)).where(
+        F.col("next_id").isNotNull()
+    )
+    graph = chain.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit(NS + "nextDoc").alias("predicate"),
+        F.concat(F.lit("d"), F.col("next_id").cast("string")).alias("object"),
+    )
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?a ?b WHERE {{ ?a kg:nextDoc* ?b }}
+    """
+    return execute_sparql(graph, q)
+
+
 def q_kg_traversal_2hop(spark, sf):
     from rdf_knowledge_extractor_spark.operators.traversal import find_related_entities
 
@@ -680,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_union": q_kg_sparql_union,
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_path": q_kg_sparql_path,
+        "kg_sparql_path_star": q_kg_sparql_path_star,
         "kg_traversal_2hop": q_kg_traversal_2hop,
         "kg_validation_filter": q_kg_validation_filter,
         "kg_validation_issues": q_kg_validation_issues,
@@ -827,6 +860,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.subject AS d, b.object AS n
             FROM g a JOIN g b ON a.object = b.subject
             WHERE a.predicate = '{NS}belongsTo' AND b.predicate = '{NS}hasName'
+        """,
+        "kg_sparql_path_star": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst FROM (
+                SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                       'd' || CAST(lead(doc_id) OVER (
+                           PARTITION BY source, floor((rn - 1) / 20)
+                           ORDER BY doc_id) AS VARCHAR) AS dst
+                FROM (
+                  SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                  FROM documents))
+              WHERE dst IS NOT NULL
+            ),
+            closure AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+            ),
+            nodes AS (
+              SELECT src AS n FROM edges UNION SELECT dst FROM edges
+            )
+            SELECT src AS a, dst AS b FROM closure
+            UNION
+            SELECT n AS a, n AS b FROM nodes
         """,
         "kg_sparql_construct": f"""
             SELECT DISTINCT subject,

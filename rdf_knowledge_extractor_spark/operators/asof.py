@@ -42,7 +42,9 @@ def asof_join(
     on: list[str] | str,
     ts_col: str = "ts",
     tolerance_sec: float | None = None,
-    time_slices: int | None = None,
+    time_slices: int | str | None = "auto",
+    auto_threshold_ratio: float = 0.05,
+    auto_min_count: int = 10_000,
 ) -> DataFrame:
     """Left as-of join: every left row + latest right row with
     right.ts ≤ left.ts on the same key (nulls when no prior right row,
@@ -54,8 +56,19 @@ def asof_join(
     `time_slices=S` splits each key's timeline into S uniform slices
     (global min/max ts) so a hot key no longer serializes through one
     window task; slice boundaries are patched with a per-(key, slice)
-    carry-in so the result is identical.  Leave None (default) for the
-    single-window plan (no join node, ≤1 Exchange)."""
+    carry-in so the result is identical.  `time_slices=None` forces the
+    single-window plan (no join node, ≤1 Exchange).
+
+    `time_slices="auto"` (the DEFAULT — r3 verdict item 8: hot-key
+    mitigation should not be caller-opt-in at scale) runs the
+    detect_hot_keys probe (operators/skew.py) over the union's keys:
+    if any key holds ≥ `auto_threshold_ratio` of all rows (and ≥
+    `auto_min_count` rows), the sliced plan is selected with S =
+    defaultParallelism (capped at 32); otherwise the plan is the exact
+    single-window plan, unchanged.  The probe costs one map-side-
+    combined aggregation pass — at 100 TB that is cheap insurance
+    against a stage-defining straggler; callers on known-uniform keys
+    pass None to skip it."""
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys and c != ts_col]
@@ -76,6 +89,11 @@ def asof_join(
         ).alias("_r"),
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    if time_slices == "auto":
+        time_slices = _probe_hot_keys(
+            merged, keys, auto_threshold_ratio, auto_min_count
+        )
 
     if time_slices is None:
         w = (
@@ -104,6 +122,24 @@ def asof_join(
         F.col("_r").getField("_r_ts").alias("_r_ts"),
         *[F.col("_r").getField(c).alias(c) for c in r_payload],
     )
+
+
+def _probe_hot_keys(
+    merged: DataFrame, keys: list[str], threshold_ratio: float, min_count: int
+) -> int | None:
+    """Auto-slicing decision: S (int) when a hot key would serialize the
+    window, else None (single-window plan).  Composite keys probe as one
+    struct column through detect_hot_keys (operators/skew.py)."""
+    from rdf_knowledge_extractor_spark.operators.skew import detect_hot_keys
+
+    probe = merged.select(F.struct(*[F.col(k) for k in keys]).alias("_k"))
+    hot = detect_hot_keys(
+        probe, "_k", threshold_ratio=threshold_ratio, min_count=min_count
+    )
+    if hot.isEmpty():
+        return None
+    parallelism = merged.sparkSession.sparkContext.defaultParallelism
+    return max(2, min(32, parallelism))
 
 
 def _sliced_fill(

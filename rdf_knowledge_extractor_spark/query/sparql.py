@@ -99,7 +99,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z_][\w-]*:[A-Za-z_][\w.-]*)
   | (?P<kw>[A-Za-z_][\w]*)
   | (?P<num>-?\d+(?:\.\d+)?)
-  | (?P<op>\|\||&&|!=|<=|>=|=|<|>|!|\||\^|/)
+  | (?P<op>\|\||&&|!=|<=|>=|=|<|>|!|\||\^|/|\+|\?)
   | (?P<punct>[{}().;,*])
     """,
     re.X,
@@ -280,7 +280,8 @@ class SparqlEngine:
         def parse_path():
             """SPARQL 1.1 property-path subset in predicate position:
             alt := seq ('|' seq)* ; seq := elt ('/' elt)* ;
-            elt := '^'? primary ; primary := IRI | 'a' | '(' alt ')'.
+            elt := '^'? primary mod? ; mod := '+' | '*' | '?' ;
+            primary := IRI | 'a' | '(' alt ')'.
             Returns a plain resolved term for the trivial case."""
 
             def p_primary():
@@ -291,11 +292,23 @@ class SparqlEngine:
                     return node
                 return resolve(take())
 
+            def p_mod(node):
+                if peek() == "+":
+                    take()
+                    return ("pplus", node)
+                if peek() == "*":
+                    take()
+                    return ("pstar", node)
+                if peek() == "?":
+                    take()
+                    return ("popt", node)
+                return node
+
             def p_elt():
                 if peek() == "^":
                     take()
-                    return ("pinv", p_primary())
-                return p_primary()
+                    return ("pinv", p_mod(p_primary()))
+                return p_mod(p_primary())
 
             def p_seq():
                 parts = [p_elt()]
@@ -463,7 +476,62 @@ class SparqlEngine:
             for p2 in parts[1:]:
                 out = out.unionByName(p2)
             return out
+        if kind == "pplus":
+            return self._transitive_closure(self._path_df(node[1]))
+        if kind == "pstar":
+            return self._transitive_closure(self._path_df(node[1])).unionByName(
+                self._graph_nodes()
+            ).distinct()
+        if kind == "popt":
+            return self._path_df(node[1]).unionByName(self._graph_nodes()).distinct()
         raise SparqlError(f"bad path node {node!r}")
+
+    def _graph_nodes(self) -> DataFrame:
+        """Zero-length path endpoints: every term appearing as subject
+        or object, paired with itself (SPARQL 1.1 §9.3 ZeroLengthPath)."""
+        g = self.graph
+        nodes = (
+            g.select(F.col("subject").alias("_n"))
+            .unionByName(g.select(F.col("object").alias("_n")))
+            .distinct()
+        )
+        return nodes.select(F.col("_n").alias("_src"), F.col("_n").alias("_dst"))
+
+    @staticmethod
+    def _transitive_closure(edges: DataFrame) -> DataFrame:
+        """Distinct (src, dst) pairs connected by ≥1 edge hops —
+        semi-naive iteration: join the NEW frontier (not the whole
+        closure) against the base edges each round, anti-join out known
+        pairs, stop at fixed point.  Same Spark shape as the
+        connected-components loop (operators/components.py):
+        localCheckpoint(eager) every round truncates the nested-join
+        lineage that would otherwise make driver-side re-analysis the
+        bottleneck, and bounds rounds by graph diameter.
+
+        Scale note: this computes the FULL closure before any
+        endpoint-constant filter — correct for KG-sized graphs (the
+        only tables with transitive predicates here).  A bound subject
+        at web scale should use the seeded frontier in
+        operators/traversal.py instead (same loop, frontier starts at
+        the seed)."""
+        base = edges.select("_src", "_dst").distinct().localCheckpoint(eager=True)
+        closure = base
+        frontier = base
+        hop = base.select(
+            F.col("_src").alias("_mid"), F.col("_dst").alias("_nd")
+        )
+        while True:
+            nxt = (
+                frontier.join(hop, frontier["_dst"] == hop["_mid"])
+                .select("_src", F.col("_nd").alias("_dst"))
+                .distinct()
+            )
+            new = nxt.join(closure, on=["_src", "_dst"], how="left_anti")
+            new = new.localCheckpoint(eager=True)
+            if new.isEmpty():
+                return closure
+            closure = closure.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
 
     def _compile_path_pattern(self, p: _Pattern) -> tuple[DataFrame, set[str]]:
         df = self._path_df(p.p)

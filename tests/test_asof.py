@@ -170,3 +170,48 @@ def test_asof_sliced_window_partitions_by_slice(skewed_sides):
     assert "hashpartitioning(user" in plan and "_slice" in plan.split(
         "hashpartitioning(user", 1
     )[1][:80]
+
+
+# -- round-4: auto hot-key slicing (VERDICT r3 item 8) -------------------
+
+def test_asof_auto_slices_on_hot_key_without_caller_optin(skewed_sides):
+    """With time_slices='auto' (the default) and the probe tuned to this
+    fixture's size, the hot key triggers the sliced plan WITHOUT the
+    caller passing S — and the result still equals the unsliced plan."""
+    left, right = skewed_sides
+    base = sorted(
+        map(
+            tuple,
+            asof_join(
+                left, right, on="user", ts_col="ts", time_slices=None
+            ).collect(),
+        )
+    )
+    auto = asof_join(
+        left, right, on="user", ts_col="ts",
+        time_slices="auto", auto_min_count=50,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_slice" in plan, "hot key should have auto-selected the sliced plan"
+    assert sorted(map(tuple, auto.collect())) == base
+
+
+def test_asof_auto_keeps_single_window_plan_for_uniform_keys(spark):
+    left = spark.createDataFrame(
+        [(i, f"u{i % 40}", _ts(i % 59)) for i in range(200)],
+        "lid long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(f"u{i % 40}", _ts((i * 3) % 59), i, float(i)) for i in range(120)],
+        "user string, ts timestamp, rid long, rval double",
+    )
+    auto = asof_join(left, right, on="user", ts_col="ts", auto_min_count=50)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_slice" not in plan, "uniform keys must keep the unsliced plan"
+    base = sorted(
+        map(
+            tuple,
+            asof_join(left, right, on="user", ts_col="ts", time_slices=None).collect(),
+        )
+    )
+    assert sorted(map(tuple, auto.collect())) == base

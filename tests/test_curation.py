@@ -278,3 +278,32 @@ def test_langid_seven_languages(spark):
         ).collect()
     }
     assert got == {want: want for want, _ in samples}
+
+
+# -- round-4: langid marker pinning (VERDICT r3 item 7) ------------------
+
+# Verbatim copy of the engine's marker dictionary.  The langid
+# CORRECTNESS oracle (__spark_entry__ text_langid) builds its SQL from
+# the live LANG_MARKERS dict, so the SQL *logic* is independent but the
+# marker SETS are shared — a bad marker edit would pass both engine and
+# oracle.  This pinned copy turns any drift in either direction into a
+# test failure that forces a deliberate re-pin.
+PINNED_LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+    "it": [" il ", " che ", " per "],
+    "pt": [" não ", " uma ", " dos "],
+    "nl": [" het ", " een ", " van "],
+}
+
+
+def test_lang_markers_pinned():
+    from rdf_knowledge_extractor_spark.functions.text_analysis import LANG_MARKERS
+
+    assert LANG_MARKERS == PINNED_LANG_MARKERS, (
+        "LANG_MARKERS drifted from the pinned fixture; if the change is "
+        "intentional, update PINNED_LANG_MARKERS *and* re-validate the "
+        "text_langid oracle"
+    )

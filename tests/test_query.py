@@ -559,3 +559,90 @@ def test_sparql_group_by_without_aggregate_projection_checked(graph):
         SparqlEngine(graph).execute(
             "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?p"
         )
+
+
+# -- round-4: transitive property paths ---------------------------------
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    """a→b→c→d chain plus a disconnected e→f edge."""
+    rows = [
+        ("urn:a", NS + "next", "urn:b"),
+        ("urn:b", NS + "next", "urn:c"),
+        ("urn:c", NS + "next", "urn:d"),
+        ("urn:e", NS + "next", "urn:f"),
+    ]
+    return spark.createDataFrame(rows, "subject string, predicate string, object string")
+
+
+def test_sparql_path_plus(chain_graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?a ?b WHERE {{ ?a kg:next+ ?b }}"""
+    rows = {(r.a, r.b) for r in execute_sparql(chain_graph, q).collect()}
+    assert rows == {
+        ("urn:a", "urn:b"), ("urn:a", "urn:c"), ("urn:a", "urn:d"),
+        ("urn:b", "urn:c"), ("urn:b", "urn:d"),
+        ("urn:c", "urn:d"),
+        ("urn:e", "urn:f"),
+    }
+
+
+def test_sparql_path_star_includes_zero_length(chain_graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?a ?b WHERE {{ ?a kg:next* ?b }}"""
+    rows = {(r.a, r.b) for r in execute_sparql(chain_graph, q).collect()}
+    nodes = {"urn:a", "urn:b", "urn:c", "urn:d", "urn:e", "urn:f"}
+    expected = {(n, n) for n in nodes} | {
+        ("urn:a", "urn:b"), ("urn:a", "urn:c"), ("urn:a", "urn:d"),
+        ("urn:b", "urn:c"), ("urn:b", "urn:d"), ("urn:c", "urn:d"),
+        ("urn:e", "urn:f"),
+    }
+    assert rows == expected
+
+
+def test_sparql_path_plus_bound_subject(chain_graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?b WHERE {{ <urn:b> kg:next+ ?b }}"""
+    assert sorted(r.b for r in execute_sparql(chain_graph, q).collect()) == [
+        "urn:c", "urn:d",
+    ]
+
+
+def test_sparql_path_optional_mod(chain_graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?b WHERE {{ <urn:c> kg:next? ?b }}"""
+    assert sorted(r.b for r in execute_sparql(chain_graph, q).collect()) == [
+        "urn:c", "urn:d",
+    ]
+
+
+def test_sparql_path_inverse_plus(chain_graph):
+    # ^next+ : ancestors of c
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?a WHERE {{ <urn:c> ^kg:next+ ?a }}"""
+    assert sorted(r.a for r in execute_sparql(chain_graph, q).collect()) == [
+        "urn:a", "urn:b",
+    ]
+
+
+def test_sparql_path_plus_in_sequence(chain_graph):
+    # next+/next : pairs at distance >= 2
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?a ?b WHERE {{ ?a kg:next+/kg:next ?b }}"""
+    rows = {(r.a, r.b) for r in execute_sparql(chain_graph, q).collect()}
+    assert rows == {("urn:a", "urn:c"), ("urn:a", "urn:d"), ("urn:b", "urn:d")}
+
+
+def test_sparql_path_plus_cycle_terminates(spark):
+    rows = [
+        ("urn:x", NS + "next", "urn:y"),
+        ("urn:y", NS + "next", "urn:x"),
+    ]
+    g = spark.createDataFrame(rows, "subject string, predicate string, object string")
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?a ?b WHERE {{ ?a kg:next+ ?b }}"""
+    got = {(r.a, r.b) for r in execute_sparql(g, q).collect()}
+    assert got == {
+        ("urn:x", "urn:y"), ("urn:y", "urn:x"),
+        ("urn:x", "urn:x"), ("urn:y", "urn:y"),
+    }
