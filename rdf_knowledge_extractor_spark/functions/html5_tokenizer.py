@@ -29,8 +29,8 @@ Tokens are tuples:
     ("text", s)                      s != ""
     ("start", name, attrs, selfclosing)
     ("end", name)
-    ("comment",)                     content irrelevant to extraction
-    ("doctype", quirks: bool)
+    ("comment", data)                content kept for corpus fidelity
+    ("doctype", quirks: bool, name, public_id, system_id)
     ("eof",)
 """
 
@@ -89,6 +89,31 @@ _QUIRKY_PUBLIC_PREFIXES = (
     "-//w3o//dtd w3 html 3.0//",
     "-//webtechs//",
 )
+
+
+def _doctype_fields(body: str) -> tuple[str, str | None, str | None]:
+    """(name, public_id, system_id) from the raw doctype body (text
+    between 'doctype' and '>'), per WHATWG §13.2.5.53-66: the name is
+    ASCII-lowercased; identifier content keeps its original case.
+    Feeds the html5lib-format tree serializer (doctype nodes are
+    retained for corpus fidelity; quirks detection stays separate)."""
+    stripped = body.strip()
+    name = stripped.split(None, 1)[0].lower() if stripped else ""
+    rest = stripped[len(name):] if stripped else ""
+    public_id: str | None = None
+    system_id: str | None = None
+    m = re.search(r'(?i)public\s*(["\'])(.*?)\1', rest)
+    if m:
+        public_id = m.group(2)
+        after = rest[m.end():]
+        m2 = re.search(r'\s*(["\'])(.*?)\1', after)
+        if m2:
+            system_id = m2.group(2)
+    else:
+        m3 = re.search(r'(?i)system\s*(["\'])(.*?)\1', rest)
+        if m3:
+            system_id = m3.group(2)
+    return name, public_id, system_id
 
 
 def _doctype_quirks(body: str) -> bool:
@@ -260,7 +285,9 @@ class Tokenizer:
         if s.startswith("<!", i):
             return self._markup_decl(i + 2)
         if s.startswith("<?", i):
-            return self._bogus_comment(i + 2)
+            # spec §13.2.5.6: the '?' ITSELF starts the bogus comment
+            # data ("<?php …?>" → comment "?php …?")
+            return self._bogus_comment(i + 1)
         nxt = s[i + 1 : i + 2]
         if nxt == "/":
             c2 = s[i + 2 : i + 3]
@@ -388,13 +415,18 @@ class Tokenizer:
         # <!--> and <!---> are complete (empty) comments
         if s.startswith(">", body_at):
             self.i = body_at + 1
-            return ("comment",)
+            return ("comment", "")
         if s.startswith("->", body_at):
             self.i = body_at + 2
-            return ("comment",)
+            return ("comment", "")
         m = _COMMENT_END.search(s, body_at)
-        self.i = m.end() if m else self.n
-        return ("comment",)
+        if m:
+            self.i = m.end()
+            data = s[body_at : m.start()]
+        else:
+            self.i = self.n
+            data = s[body_at:]  # EOF in comment: rest is data
+        return ("comment", data.replace("\x00", "�"))
 
     def _markup_decl(self, at: int) -> tuple:
         s = self.s
@@ -402,7 +434,7 @@ class Tokenizer:
             gt = s.find(">", at)
             body = s[at + 7 : gt if gt != -1 else self.n]
             self.i = (gt + 1) if gt != -1 else self.n
-            return ("doctype", _doctype_quirks(body))
+            return ("doctype", _doctype_quirks(body), *_doctype_fields(body))
         if s.startswith("[CDATA[", at):
             # HTML content: bogus comment spanning to the first '>'
             return self._bogus_comment(at)
@@ -411,7 +443,8 @@ class Tokenizer:
     def _bogus_comment(self, at: int) -> tuple:
         gt = self.s.find(">", at)
         self.i = (gt + 1) if gt != -1 else self.n
-        return ("comment",)
+        data = self.s[at : gt if gt != -1 else self.n]
+        return ("comment", data.replace("\x00", "�"))
 
     # --- RAWTEXT / RCDATA ------------------------------------------------------
     def _raw(self, rcdata: bool) -> tuple:

@@ -44,13 +44,30 @@ _WS = "\t\n\f \n"
 
 
 class Comment:
-    """Comment marker node — invisible to text extraction but breaks
-    text-run coalescing, like html5ever comment nodes."""
+    """Comment node — invisible to text extraction but breaks text-run
+    coalescing, like html5ever comment nodes.  Content is retained for
+    the html5lib-format tree serializer (round-3 verdict item 5: the
+    corpus comparator must not normalize away comment content)."""
 
-    __slots__ = ("parent",)
+    __slots__ = ("parent", "data")
 
-    def __init__(self):
+    def __init__(self, data: str = ""):
         self.parent = None
+        self.data = data
+
+
+class Doctype:
+    """Doctype node retained on the document for corpus fidelity;
+    quirks detection (a tree-construction input) stays a separate
+    tokenizer concern."""
+
+    __slots__ = ("parent", "name", "public_id", "system_id")
+
+    def __init__(self, name: str, public_id: str | None, system_id: str | None):
+        self.parent = None
+        self.name = name
+        self.public_id = public_id
+        self.system_id = system_id
 
 
 class Node:
@@ -247,9 +264,9 @@ class TreeBuilder:
             else:
                 parent.insert_at(index, data)
 
-    def _insert_comment(self) -> None:
+    def _insert_comment(self, t=None) -> None:
         parent, index = self._insertion_location()
-        c = Comment()
+        c = Comment(t[1] if t is not None and len(t) > 1 else "")
         if index is None:
             parent.append(c)
         else:
@@ -519,9 +536,13 @@ class TreeBuilder:
             self._process(("text", data))
             return
         if k == "comment":
+            # spec: insert comment as last child of the Document
+            self.document.append(Comment(t[1] if len(t) > 1 else ""))
             return
         if k == "doctype":
             self.quirks = t[1]
+            if len(t) > 2:  # retain the node for the tree serializer
+                self.document.append(Doctype(t[2], t[3], t[4]))
             self.mode = "before_html"
             return
         self.quirks = True
@@ -530,7 +551,10 @@ class TreeBuilder:
 
     def _m_before_html(self, t):
         k = t[0]
-        if k == "doctype" or k == "comment":
+        if k == "comment":
+            self.document.append(Comment(t[1] if len(t) > 1 else ""))
+            return
+        if k == "doctype":
             return
         if k == "text":
             data = t[1].lstrip(_WS)
@@ -558,7 +582,10 @@ class TreeBuilder:
             if not data:
                 return
             t = ("text", data)
-        if k in ("comment", "doctype"):
+        if k == "comment":
+            self._insert_comment(t)  # spec: insert into <html>
+            return
+        if k == "doctype":
             return
         if k == "start" and t[1] == "html":
             return self._m_in_body(t)
@@ -585,7 +612,7 @@ class TreeBuilder:
                 return
             t = ("text", data[i:])
         elif k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         elif k == "doctype":
             return
@@ -648,7 +675,7 @@ class TreeBuilder:
                 return
             t = ("text", data[i:])
         elif k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         elif k == "doctype":
             return
@@ -706,7 +733,7 @@ class TreeBuilder:
             return
         self.ignore_lf = False
         if k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         if k == "doctype":
             return
@@ -1029,7 +1056,7 @@ class TreeBuilder:
             self.mode = "in_table_text"
             return self._m_in_table_text(t)
         if k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         if k == "doctype":
             return
@@ -1160,7 +1187,7 @@ class TreeBuilder:
             t = ("text", data[i:])
         elif k == "comment" or k == "doctype":
             if k == "comment":
-                self._insert_comment()
+                self._insert_comment(t)
             return
         elif k == "start":
             name = t[1]
@@ -1312,7 +1339,7 @@ class TreeBuilder:
                 self._insert_text(data)
             return
         if k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         if k == "doctype":
             return
@@ -1395,7 +1422,7 @@ class TreeBuilder:
             return self._m_in_body(t)
         if k == "comment":
             # attached to <html>; splits runs only at html level
-            self.html.append(Comment())
+            self.html.append(Comment(t[1] if len(t) > 1 else ""))
             return
         if k == "doctype":
             return
@@ -1412,7 +1439,10 @@ class TreeBuilder:
 
     def _m_after_after_body(self, t):
         k = t[0]
-        if k == "comment" or k == "doctype":
+        if k == "comment":
+            self.document.append(Comment(t[1] if len(t) > 1 else ""))
+            return
+        if k == "doctype":
             return
         if k == "text" and not t[1].strip(_WS):
             return self._m_in_body(t)
@@ -1433,7 +1463,7 @@ class TreeBuilder:
                 self._insert_text(ws)
             return
         if k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         if k == "start":
             name, attrs = t[1], t[2]
@@ -1466,7 +1496,7 @@ class TreeBuilder:
                 self._insert_text(ws)
             return
         if k == "comment":
-            self._insert_comment()
+            self._insert_comment(t)
             return
         if k == "start" and t[1] == "html":
             return self._m_in_body(t)
@@ -1481,6 +1511,9 @@ class TreeBuilder:
 
     def _m_after_after_frameset(self, t):
         k = t[0]
+        if k == "comment":
+            self.document.append(Comment(t[1] if len(t) > 1 else ""))
+            return
         if k == "start" and t[1] == "html":
             return self._m_in_body(t)
         if k == "start" and t[1] == "noframes":
@@ -1495,34 +1528,62 @@ def parse_document(source: str) -> Node:
     return TreeBuilder().parse(source)
 
 
-def serialize_test_format(html_node: Node) -> str:
+def parse_document_full(source: str) -> Node:
+    """Parse an HTML document; returns the #document node (children:
+    document-level Comment/Doctype nodes + the <html> element) — the
+    root the html5lib-format serializer compares against corpus
+    goldens."""
+    tb = TreeBuilder()
+    tb.parse(source)
+    return tb.document
+
+
+def serialize_test_format(root: Node) -> str:
     """Serialize a parsed tree in the public html5lib-tests
     tree-construction format (the `#document` section's `| `-indented
     lines), for differential comparison against spec-corpus goldens in
     tests/test_html5lib_corpus.py.
 
-    Two constructor-level normalizations (this builder is
-    text-extraction-grade): DOCTYPE nodes are not retained (quirks is
-    tracked as a flag) and comment nodes carry position but not
-    content — so the comparator strips `<!DOCTYPE …>` and `<!-- … -->`
-    lines from the expected side, and this serializer emits nothing
-    for Comment nodes (their run-splitting effect on text is still
-    visible as separate adjacent text lines on both sides).
+    Full fidelity (round-3 verdict item 5 closed): comment nodes emit
+    their CONTENT (`| <!-- data -->`) and doctype nodes emit the
+    html5lib doctype line (`| <!DOCTYPE name>` /
+    `| <!DOCTYPE name "public" "system">`) — nothing is normalized
+    away.  Pass a #document node (parse_document_full) to compare
+    document-level comments/doctype; an <html> node serializes the
+    element subtree only.
     """
     out: list[str] = []
 
-    def emit(node: Node, depth: int) -> None:
-        pad = "| " + "  " * depth
-        out.append(f"{pad}<{node.name}>")
-        for k in sorted(node.attrs):
-            out.append("| " + "  " * (depth + 1) + f'{k}="{node.attrs[k]}"')
-        for child in node.children:
-            if isinstance(child, str):
-                out.append("| " + "  " * (depth + 1) + f'"{child}"')
-            elif isinstance(child, Comment):
-                continue
-            else:
-                emit(child, depth + 1)
+    def line(depth: int, text: str) -> None:
+        out.append("| " + "  " * depth + text)
 
-    emit(html_node, 0)
+    def emit_child(child, depth: int) -> None:
+        if isinstance(child, str):
+            line(depth, f'"{child}"')
+        elif isinstance(child, Comment):
+            line(depth, f"<!-- {child.data} -->")
+        elif isinstance(child, Doctype):
+            if child.public_id is None and child.system_id is None:
+                line(depth, f"<!DOCTYPE {child.name}>" if child.name else "<!DOCTYPE >")
+            else:
+                line(
+                    depth,
+                    f'<!DOCTYPE {child.name} "{child.public_id or ""}" '
+                    f'"{child.system_id or ""}">',
+                )
+        else:
+            emit(child, depth)
+
+    def emit(node: Node, depth: int) -> None:
+        line(depth, f"<{node.name}>")
+        for k in sorted(node.attrs):
+            line(depth + 1, f'{k}="{node.attrs[k]}"')
+        for child in node.children:
+            emit_child(child, depth + 1)
+
+    if root.name == "#document":
+        for child in root.children:
+            emit_child(child, 0)
+    else:
+        emit(root, 0)
     return "\n".join(out)
