@@ -4,6 +4,9 @@ Decode tiers:
 - **PNG images decode for real** via the pure-stdlib codec in
   functions/png.py (zlib inflate + scanline unfilter) — width/height/
   channels/per-channel means become the leading feature dimensions.
+- **GIF images decode for real** via the pure-stdlib LZW codec in
+  functions/gif.py (87a/89a, interlace, transparency) — same feature
+  layout as PNG.
 - **WAV audio decodes for real** via the pure-stdlib RIFF/PCM codec in
   functions/wav.py — sample-rate/channels/duration/per-channel RMS
   become the leading feature dimensions.
@@ -55,6 +58,7 @@ def _real_decode(data: bytes, media_type: str, feature_dim: int) -> tuple[list[f
     mean_c0..mean_cN, 0-padding] truncated/padded to feature_dim.
     WAV feature layout: [sample_rate/1e5, channels/4, duration_sec,
     rms_c0..rms_cN, 0-padding] truncated/padded to feature_dim."""
+    from rdf_knowledge_extractor_spark.functions.gif import is_gif, gif_stats
     from rdf_knowledge_extractor_spark.functions.png import is_png, png_stats
     from rdf_knowledge_extractor_spark.functions.wav import is_wav, wav_stats
 
@@ -63,6 +67,11 @@ def _real_decode(data: bytes, media_type: str, feature_dim: int) -> tuple[list[f
         feat = [w / 1e4, h / 1e4, c / 4.0, *means]
         feat = feat[:feature_dim]
         return feat + [0.0] * (feature_dim - len(feat)), "png-stdlib-v1"
+    if media_type == "image" and is_gif(data):
+        w, h, c, means = gif_stats(data)
+        feat = [w / 1e4, h / 1e4, c / 4.0, *means]
+        feat = feat[:feature_dim]
+        return feat + [0.0] * (feature_dim - len(feat)), "gif-stdlib-v1"
     if media_type == "audio" and is_wav(data):
         rate, c, dur, rms = wav_stats(data)
         feat = [rate / 1e5, c / 4.0, dur, *rms]
