@@ -17,7 +17,13 @@ Two engines:
    (numeric-coercing), ||/&&/!, CONTAINS/STRSTARTS/STRENDS/REGEX/BOUND,
    FILTER (NOT) EXISTS { … } (→ left-semi/anti joins),
    COUNT/SUM/MIN/MAX/AVG with GROUP BY + HAVING,
-   ORDER BY (ASC|DESC)(?v), LIMIT n, OFFSET n.  Compilation is
+   ORDER BY (ASC|DESC)(?v), LIMIT n, OFFSET n,
+   property-path modifiers +/*/? (transitive closure via semi-naive
+   frontier loop), BIND(expr AS ?v), VALUES ?v { … } / (?a ?b) { … }
+   with UNDEF, CONCAT/UCASE/LCASE/STRLEN.  UNION/OPTIONAL solution
+   joins use SPARQL compatible-mapping semantics (join-over-union
+   distribution; isnull-or-equal residual conditions where maybe-null
+   vars meet a join).  Compilation is
    classic BGP-as-self-joins: one aliased scan of the triples table
    per pattern, equi-joined on shared variables; OPTIONAL groups are
    left joins.  Catalyst then does join reordering/pushdown; a
@@ -81,6 +87,8 @@ class _Group:
     filters: list = field(default_factory=list)  # parsed FILTER ASTs
     unions: list[list["_Group"]] = field(default_factory=list)  # {g} UNION {g}…
     exists: list[tuple[bool, "_Group"]] = field(default_factory=list)  # (negated, group)
+    binds: list[tuple[str, object]] = field(default_factory=list)  # BIND(expr AS ?v)
+    values_: list[tuple[list[str], list[tuple]]] = field(default_factory=list)  # VALUES
 
 
 @dataclass
@@ -220,7 +228,10 @@ class SparqlEngine:
         # expr := and ('||' and)* ; and := unary ('&&' unary)*
         # unary := '!' unary | primary
         # primary := '(' expr ')' | FUNC '(' args ')' | term [cmp term]
-        _FUNCS = {"contains", "strstarts", "strends", "regex", "bound", "lang", "str"}
+        _FUNCS = {
+            "contains", "strstarts", "strends", "regex", "bound", "lang",
+            "str", "concat", "ucase", "lcase", "strlen",
+        }
 
         def parse_filter_expr():
             def p_or():
@@ -345,6 +356,70 @@ class SparqlEngine:
                     if peek() == ".":
                         take()
                     continue
+                if peek().upper() == "BIND":
+                    take()
+                    expect("(")
+                    expr = parse_filter_expr()
+                    expect("AS")
+                    v = take()
+                    if not v or not v.startswith("?"):
+                        raise SparqlError("BIND needs (expr AS ?var)")
+                    expect(")")
+                    g.binds.append((v[1:], expr))
+                    if peek() == ".":
+                        take()
+                    continue
+                if peek().upper() == "VALUES":
+                    take()
+
+                    def values_term():
+                        t2 = take()
+                        if t2 is None:
+                            raise SparqlError("unterminated VALUES block")
+                        if t2.upper() == "UNDEF":
+                            return None
+                        if t2.startswith('"'):
+                            return t2[1:-1].replace('\\"', '"')
+                        if re.fullmatch(r"-?\d+(?:\.\d+)?", t2):
+                            return t2
+                        return resolve(t2).removeprefix("\0LIT")
+
+                    head = take()
+                    if head == "(":
+                        vars_: list[str] = []
+                        while peek() and peek() != ")":
+                            vt = take()
+                            if not vt or not vt.startswith("?"):
+                                raise SparqlError("VALUES vars must be ?vars")
+                            vars_.append(vt[1:])
+                        expect(")")
+                        tuple_form = True
+                    elif head and head.startswith("?"):
+                        vars_ = [head[1:]]
+                        tuple_form = False
+                    else:
+                        raise SparqlError("VALUES needs ?var or (?v1 ?v2 …)")
+                    if not vars_:
+                        raise SparqlError("VALUES needs at least one variable")
+                    expect("{")
+                    rows: list[tuple] = []
+                    while peek() and peek() != "}":
+                        if tuple_form:
+                            expect("(")
+                            row = []
+                            while peek() and peek() != ")":
+                                row.append(values_term())
+                            expect(")")
+                            if len(row) != len(vars_):
+                                raise SparqlError("VALUES row arity mismatch")
+                        else:
+                            row = [values_term()]
+                        rows.append(tuple(row))
+                    expect("}")
+                    g.values_.append((vars_, rows))
+                    if peek() == ".":
+                        take()
+                    continue
                 if peek().upper() == "FILTER":
                     take()
                     if peek() and peek().upper() in ("EXISTS", "NOT"):
@@ -385,7 +460,10 @@ class SparqlEngine:
         template: list[_Pattern] = []
         if is_construct:
             tgroup = parse_group()
-            if tgroup.optionals or tgroup.filters or tgroup.unions or tgroup.exists:
+            if (
+                tgroup.optionals or tgroup.filters or tgroup.unions
+                or tgroup.exists or tgroup.binds or tgroup.values_
+            ):
                 raise SparqlError("CONSTRUCT template takes plain triple patterns only")
             template = tgroup.patterns
             if not template:
@@ -652,7 +730,7 @@ class SparqlEngine:
         return u, all_cols - bound_everywhere
 
     def _compile_group(self, g: _Group) -> tuple[DataFrame, set[str]]:
-        if not g.patterns and not g.optionals and not g.unions:
+        if not g.patterns and not g.optionals and not g.unions and not g.values_:
             raise SparqlError("empty group")
         df: DataFrame | None = None
         maybe: set[str] = set()
@@ -710,6 +788,33 @@ class SparqlEngine:
                     else:
                         cond = cond & (F.col(c) == F.col("_r_" + c))
                 df = df.join(ren, on=cond, how=how)
+        for vars_, rows in g.values_:
+            # inline solution table (SPARQL 1.1 VALUES): UNDEF → NULL,
+            # joined with compatible-mapping semantics like any other
+            # solution multiset.  At scale a VALUES block is tiny →
+            # Catalyst broadcasts it into the pattern join.
+            spark = self.graph.sparkSession
+            vdf = spark.createDataFrame(
+                rows, ", ".join(f"{v} string" for v in vars_)
+            )
+            vmaybe = {
+                v for i, v in enumerate(vars_) if any(r[i] is None for r in rows)
+            }
+            if df is None:
+                df, maybe = vdf, vmaybe
+            else:
+                df, maybe = self._compat_join(df, maybe, vdf, vmaybe)
+        for var, expr in g.binds:
+            # BIND applied after the group's joins (subset deviation:
+            # SPARQL scopes BIND to the preceding-pattern prefix)
+            if df is None:
+                raise SparqlError("BIND needs a preceding pattern in the group")
+            if var in df.columns:
+                raise SparqlError(f"BIND would rebind in-scope ?{var}")
+            df = df.withColumn(
+                var, self._filter_to_column(expr, set(df.columns))
+            )
+            maybe.add(var)  # expression errors → NULL binding
         for flt in g.filters:
             df = df.filter(self._filter_to_column(flt, set(df.columns)))
         return df, maybe
@@ -774,6 +879,14 @@ class SparqlEngine:
                 return cols[0].cast("string")
             if name == "lang":
                 return F.lit("")  # no language tags in the data model
+            if name == "concat":
+                return F.concat(*[c.cast("string") for c in cols])
+            if name == "ucase":
+                return F.upper(cols[0])
+            if name == "lcase":
+                return F.lower(cols[0])
+            if name == "strlen":
+                return F.length(cols[0])
             raise SparqlError(f"unsupported FILTER function {name}")
         raise SparqlError(f"bad FILTER node {ast!r}")
 

@@ -646,3 +646,72 @@ def test_sparql_path_plus_cycle_terminates(spark):
         ("urn:x", "urn:y"), ("urn:y", "urn:x"),
         ("urn:x", "urn:x"), ("urn:y", "urn:y"),
     }
+
+
+# -- round-4: BIND / VALUES / string functions ---------------------------
+
+def test_sparql_bind_concat(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?label WHERE {{
+      ?e kg:hasName ?n .
+      BIND(CONCAT(?n, " [org]") AS ?label)
+    }} ORDER BY ?label"""
+    assert [r.label for r in execute_sparql(graph, q).collect()] == [
+        "Acme Corp [org]", "Beta Inc [org]",
+    ]
+
+
+def test_sparql_bind_then_filter(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?n WHERE {{
+      ?e kg:hasName ?n .
+      BIND(STRLEN(?n) AS ?len)
+      FILTER(?len > 8)
+    }}"""
+    assert [r.n for r in execute_sparql(graph, q).collect()] == ["Acme Corp"]
+
+
+def test_sparql_bind_rebind_rejected(graph):
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    with pytest.raises(SparqlError, match="rebind"):
+        SparqlEngine(graph).execute(
+            f"""PREFIX kg: <{NS}>
+            SELECT ?n WHERE {{ ?e kg:hasName ?n . BIND(UCASE(?n) AS ?n) }}"""
+        )
+
+
+def test_sparql_values_single_var(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?e ?n WHERE {{
+      ?e kg:hasName ?n .
+      VALUES ?n {{ "Acme Corp" "Nonexistent" }}
+    }}"""
+    rows = [(r.e, r.n) for r in execute_sparql(graph, q).collect()]
+    assert rows == [(R + "Acme", "Acme Corp")]
+
+
+def test_sparql_values_only_group(graph):
+    q = """SELECT ?x WHERE { VALUES ?x { "a" "b" } }"""
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    assert sorted(r.x for r in SparqlEngine(graph).execute(q).collect()) == ["a", "b"]
+
+
+def test_sparql_values_tuple_with_undef(graph):
+    # UNDEF leaves ?r unconstrained for the Acme row → compatible with
+    # any ?r the patterns produce (here: none bind ?r, stays NULL)
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?e ?n ?score WHERE {{
+      ?e kg:hasName ?n .
+      ?e kg:hasPriorityScore ?score .
+      VALUES (?n ?score) {{ ("Acme Corp" UNDEF) ("Beta Inc" "75") }}
+    }} ORDER BY ?n"""
+    rows = [(r.n, r.score) for r in execute_sparql(graph, q).collect()]
+    assert rows == [("Acme Corp", "90"), ("Beta Inc", "75")]
+
+
+def test_sparql_ucase_lcase(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?u WHERE {{ ?e kg:hasRole ?r . BIND(LCASE(?r) AS ?u) }}"""
+    assert [r.u for r in execute_sparql(graph, q).collect()] == ["ceo"]
