@@ -236,3 +236,60 @@ def test_streaming_attribution_equals_batch_asof(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(out_dir).drop("batch").collect())
     ) == want
+
+
+def test_streaming_neardup_filter_across_batches(spark, tmp_path):
+    """First-arrival near-dup admission: batch 2's near-copy of an
+    admitted batch-1 doc is rejected; novel docs pass; in-batch
+    near-dups keep the min id; replaying the stream is idempotent."""
+    from pyspark.sql import types as T
+
+    from rdf_knowledge_extractor_spark.streaming.neardup import (
+        start_neardup_filter_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "in the warm afternoon sun near the old garden wall by the gate"
+    )
+    other = (
+        "completely different content about spark structured streaming "
+        "microbatches and stateful admission filters for web corpora"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        q = start_neardup_filter_sink(
+            stream, out_dir, state_dir, ckpt, threshold=0.7
+        )
+        q.awaitTermination(180)
+
+    # batch 1: doc0 + an in-batch near-copy (doc1) + a novel doc (doc2)
+    spark.createDataFrame(
+        [(0, base), (1, base + " extra"), (2, other)], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_stream()
+    got1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {0, 2}  # doc1 rejected in-batch (min id 0 kept)
+
+    # batch 2: near-copy of admitted doc0 (reject) + novel doc (admit)
+    spark.createDataFrame(
+        [(10, base + " tail"), (11, other.upper() + " but lowercase differs a lot here truly")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_stream()
+    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert 10 not in got2
+    assert 11 in got2
+    assert got2 >= {0, 2, 11}
