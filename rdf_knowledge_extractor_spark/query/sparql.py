@@ -20,7 +20,8 @@ Two engines:
    ORDER BY (ASC|DESC)(?v), LIMIT n, OFFSET n,
    property-path modifiers +/*/? (transitive closure via semi-naive
    frontier loop), BIND(expr AS ?v), VALUES ?v { … } / (?a ?b) { … }
-   with UNDEF, CONCAT/UCASE/LCASE/STRLEN.  UNION/OPTIONAL solution
+   with UNDEF, MINUS { … } (shared-domain anti-join),
+   CONCAT/UCASE/LCASE/STRLEN.  UNION/OPTIONAL solution
    joins use SPARQL compatible-mapping semantics (join-over-union
    distribution; isnull-or-equal residual conditions where maybe-null
    vars meet a join).  Compilation is
@@ -89,6 +90,7 @@ class _Group:
     exists: list[tuple[bool, "_Group"]] = field(default_factory=list)  # (negated, group)
     binds: list[tuple[str, object]] = field(default_factory=list)  # BIND(expr AS ?v)
     values_: list[tuple[list[str], list[tuple]]] = field(default_factory=list)  # VALUES
+    minus: list["_Group"] = field(default_factory=list)  # MINUS { … }
 
 
 @dataclass
@@ -345,6 +347,12 @@ class SparqlEngine:
                 if peek().upper() == "OPTIONAL":
                     take()
                     g.optionals.append(parse_group())
+                    continue
+                if peek().upper() == "MINUS":
+                    take()
+                    g.minus.append(parse_group())
+                    if peek() == ".":
+                        take()
                     continue
                 if peek() == "{":
                     # GroupOrUnionGraphPattern: { … } (UNION { … })*
@@ -788,6 +796,39 @@ class SparqlEngine:
                     else:
                         cond = cond & (F.col(c) == F.col("_r_" + c))
                 df = df.join(ren, on=cond, how=how)
+        for sub in g.minus:
+            # MINUS (SPARQL 1.1 §8.3.3): drop μ1 iff some right solution
+            # μ2 is COMPATIBLE with μ1 AND shares at least one bound
+            # variable (dom(μ1) ∩ dom(μ2) ≠ ∅ — disjoint-domain rows
+            # survive).  Compiles to a LeftAnti join whose condition is
+            # the compatibility conjunction plus an OR over "both sides
+            # bound"; with definitely-bound shared vars the anti-join
+            # stays hash-joinable on those keys.
+            if df is None:
+                raise SparqlError("MINUS needs a preceding pattern in the group")
+            mdf, mmaybe = self._compile_group(sub)
+            common = sorted(set(df.columns) & set(mdf.columns))
+            if not common:
+                continue  # disjoint domains: removes nothing
+            ren = mdf
+            for c in common:
+                ren = ren.withColumnRenamed(c, "_r_" + c)
+            compat = F.lit(True)
+            for c in common:
+                if c in maybe or c in mmaybe:
+                    compat = compat & (
+                        F.col(c).isNull()
+                        | F.col("_r_" + c).isNull()
+                        | (F.col(c) == F.col("_r_" + c))
+                    )
+                else:
+                    compat = compat & (F.col(c) == F.col("_r_" + c))
+            shared_dom = F.lit(False)
+            for c in common:
+                shared_dom = shared_dom | (
+                    F.col(c).isNotNull() & F.col("_r_" + c).isNotNull()
+                )
+            df = df.join(ren, on=compat & shared_dom, how="left_anti")
         for vars_, rows in g.values_:
             # inline solution table (SPARQL 1.1 VALUES): UNDEF → NULL,
             # joined with compatible-mapping semantics like any other

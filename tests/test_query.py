@@ -145,7 +145,7 @@ def test_sparql_fallback_only_for_loose_queries(spark):
         execute_sparql(
             graph,
             "PREFIX biz: <http://e/>\n"
-            "SELECT ?s WHERE { ?s biz:hasName ?n . MINUS { ?s biz:x ?y } }",
+            "SELECT ?s WHERE { SERVICE <http://remote/sparql> { ?s biz:hasName ?n } }",
         )
     # IRI-bearing query with a syntax error → propagate too
     with pytest.raises(SparqlError):
@@ -715,3 +715,42 @@ def test_sparql_ucase_lcase(graph):
     q = f"""PREFIX kg: <{NS}>
     SELECT ?u WHERE {{ ?e kg:hasRole ?r . BIND(LCASE(?r) AS ?u) }}"""
     assert [r.u for r in execute_sparql(graph, q).collect()] == ["ceo"]
+
+
+# -- round-4: MINUS ------------------------------------------------------
+
+def test_sparql_minus_basic(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?n WHERE {{
+      ?e kg:hasName ?n .
+      MINUS {{ ?e kg:hasRevenue ?x }}
+    }}"""
+    assert [r.n for r in execute_sparql(graph, q).collect()] == ["Acme Corp"]
+
+
+def test_sparql_minus_disjoint_domain_removes_nothing(graph):
+    # the MINUS group binds no variable shared with the outer solutions
+    # → dom(mu1) ∩ dom(mu2) = empty → every solution survives (this is
+    # THE divergence between MINUS and FILTER NOT EXISTS)
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?n WHERE {{
+      ?e kg:hasName ?n .
+      MINUS {{ ?x kg:hasRevenue ?y }}
+    }}"""
+    assert sorted(r.n for r in execute_sparql(graph, q).collect()) == [
+        "Acme Corp", "Beta Inc",
+    ]
+
+
+def test_sparql_minus_with_union_maybe_null(compat_graph):
+    # outer union leaves ?x maybe-null; MINUS on ?x must treat the
+    # NULL-x row as disjoint-domain (survives), not as a match
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?s ?x ?y WHERE {{
+      {{ ?s kg:p1 ?x }} UNION {{ ?s kg:p2 ?y }}
+      MINUS {{ ?q kg:p3 ?z . BIND(?q AS ?x) }}
+    }}"""
+    # MINUS group binds ?x = urn:x1 (subject of p3) → removes the
+    # branch-1 row (x=urn:x1); the ?y row has x unbound → survives
+    rows = {(r.s, r.x, r.y) for r in execute_sparql(compat_graph, q).collect()}
+    assert rows == {("urn:s2", None, "urn:y2")}
