@@ -75,6 +75,21 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs
 
 
+def _pair_combos(ids_col):
+    """array<T> (sorted ascending) → array<struct<id_a, id_b>> of all
+    i<j combinations — pure Catalyst nested `transform`, evaluated
+    map-side after the bucket groupBy (no self-join)."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + F.lit(2), F.size(ids_col) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _with_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     return docs.select(
         F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("shingles")
@@ -186,19 +201,22 @@ def minhash_lsh_pairs(
     """
     sh = _with_hashed_shingles(_spread(docs), id_col, text_col, k).persist()
     bands_of = _minhash_band_udf(num_perm, bands)
-    # persist the banded table: the candidate self-join reads it twice,
-    # which would otherwise run the sketch UDF twice over the corpus
-    bucketed = (
-        sh.withColumn("_bands", bands_of(F.col("h")))
-        .select("id", F.posexplode("_bands").alias("band_idx", "band_val"))
-        .persist()
+    # candidate generation: ONE shuffle (groupBy band key) + in-array
+    # pair combinations, instead of the former window-count + banded
+    # self-join that shuffled the table and probed the persisted copy
+    # twice.  Buckets are near-dup clusters (4-row bands ⇒ background
+    # collision p≈J⁴), so the collected id arrays stay small; a
+    # pathological giant duplicate cluster produces the same O(c²)
+    # pairs under either formulation.
+    bucketed = sh.withColumn("_bands", bands_of(F.col("h"))).select(
+        "id", F.posexplode("_bands").alias("band_idx", "band_val")
     )
-    left = bucketed.select(F.col("id").alias("id_a"), "band_idx", "band_val")
-    right = bucketed.select(F.col("id").alias("id_b"), "band_idx", "band_val")
     cands = (
-        left.join(right, on=["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        bucketed.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list("id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.explode(_pair_combos(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
