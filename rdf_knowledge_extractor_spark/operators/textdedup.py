@@ -155,12 +155,16 @@ def ngram_jaccard_pairs(
             )
         ).alias("g"),
     )
-    a = prefix.select(F.col("id").alias("id_a"), "g")
-    b = prefix.select(F.col("id").alias("id_b"), "g")
+    # one-shuffle candidate generation over the inverted prefix index
+    # (round-4 shape, see minhash_lsh_pairs): rarest-first prefixes
+    # keep postings lists short, so the per-gram combination explode
+    # stays near-linear
     cands = (
-        a.join(b, on="g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        prefix.groupBy("g")
+        .agg(F.array_sort(F.collect_list("id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+        .select(F.explode(_pair_combos(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p.id_a"), F.col("_p.id_b"))
         .distinct()
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -293,7 +297,7 @@ def simhash_pairs(
         _simhash_from_hashes(
             shingle_hash_col(char_shingles(F.col(text_col), k))
         ).alias("sig"),
-    ).persist()
+    )
     chunks = sigs.select(
         "id",
         "sig",
@@ -311,13 +315,25 @@ def simhash_pairs(
             )
         ).alias("ch"),
     ).select("id", "sig", "ch.chunk_idx", "ch.chunk_val")
-    a = chunks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val")
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # one-shuffle candidate generation (same round-4 shape as the
+    # MinHash paths): group the pigeonhole chunks, collect (id, sig)
+    # members sorted by id, explode i<j combinations — no self-join,
+    # no persisted sig table (the sketch UDF runs once)
+    members = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    p = members.select(F.explode(_pair_combos(F.col("_ids"))).alias("_p"))
+    hamming = F.bit_count(
+        F.col("_p.id_a.sig").bitwiseXOR(F.col("_p.id_b.sig"))
+    )
     return (
-        a.join(b, on=["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        p.select(
+            F.col("_p.id_a.id").alias("id_a"),
+            F.col("_p.id_b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
