@@ -250,6 +250,38 @@ def q_kg_sparql_path_star(spark, sf):
     return execute_sparql(graph, q)
 
 
+def q_kg_sparql_minus(spark, sf):
+    """SPARQL MINUS (round-4 extension): docs whose source has no
+    hasRole triple — shared-domain anti-join semantics
+    (query/sparql.py, compiled to LeftAnti)."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?d ?s WHERE {{
+      ?d kg:belongsTo ?s .
+      MINUS {{ ?s kg:hasName ?n . FILTER(STRENDS(?n, "0")) }}
+    }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_sparql_bind_values(spark, sf):
+    """SPARQL BIND + VALUES (round-4 extension): inline solution table
+    restricting ?lang, computed label via CONCAT."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?d ?lang ?label WHERE {{
+      ?d kg:hasLang ?lang .
+      VALUES ?lang {{ "en" "de" }}
+      BIND(CONCAT(?lang, ":doc") AS ?label)
+    }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
 def q_kg_traversal_2hop(spark, sf):
     from rdf_knowledge_extractor_spark.operators.traversal import find_related_entities
 
@@ -713,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_path_star": q_kg_sparql_path_star,
+        "kg_sparql_minus": q_kg_sparql_minus,
+        "kg_sparql_bind_values": q_kg_sparql_bind_values,
         "kg_traversal_2hop": q_kg_traversal_2hop,
         "kg_validation_filter": q_kg_validation_filter,
         "kg_validation_issues": q_kg_validation_issues,
@@ -885,6 +919,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS a, dst AS b FROM closure
             UNION
             SELECT n AS a, n AS b FROM nodes
+        """,
+        "kg_sparql_minus": f"""
+            WITH g AS ({dedup})
+            SELECT a.subject AS d, a.object AS s
+            FROM g a
+            WHERE a.predicate = '{NS}belongsTo'
+              AND a.object NOT IN (
+                SELECT subject FROM g
+                WHERE predicate = '{NS}hasName' AND object LIKE '%0')
+        """,
+        "kg_sparql_bind_values": f"""
+            WITH g AS ({dedup})
+            SELECT subject AS d, object AS lang, object || ':doc' AS label
+            FROM g
+            WHERE predicate = '{NS}hasLang' AND object IN ('en', 'de')
         """,
         "kg_sparql_construct": f"""
             SELECT DISTINCT subject,
