@@ -181,7 +181,9 @@ def lsh_candidate_pairs(
     are excluded from pair generation and REPORTED, never silently
     capped — the caller can route them to a secondary strategy.
     """
-    from rdf_knowledge_extractor_spark.operators.textdedup import _pair_combos
+    from rdf_knowledge_extractor_spark.operators.textdedup import (
+        _bucket_candidate_pairs,
+    )
 
     bands_of = _minhash_band_udf(num_perm, bands)
     bucketed = (
@@ -194,25 +196,21 @@ def lsh_candidate_pairs(
     # replaces the former window-count + banded self-join, which
     # shuffled the table and probed the persisted copy twice (round-4
     # plan improvement; measured ~25% off the minhash sketch family's
-    # steady time).  The collected uri array doubles as the bucket
-    # size, so the oversized-bucket report falls out of the same
-    # grouped table.
-    buckets = bucketed.groupBy("band_idx", "band_val").agg(
-        F.array_sort(F.collect_list(uri_col)).alias("_ids")
+    # steady time).  Shared skew-safe shape with the textdedup
+    # families (_bucket_candidate_pairs); linking keeps the "drop"
+    # policy — hot head-entity buckets are excluded and reported so the
+    # caller can route them to a secondary strategy.
+    pairs, dropped = _bucket_candidate_pairs(
+        bucketed,
+        ["band_idx", "band_val"],
+        uri_col,
+        max_bucket_size=max_bucket_size,
+        oversized="drop",
     )
-    dropped = (
-        buckets.filter(F.size("_ids") > max_bucket_size)
-        .select("band_idx", "band_val", F.size("_ids").alias("n"))
+    return (
+        pairs.select(F.col("id_a").alias("uri_a"), F.col("id_b").alias("uri_b")),
+        dropped,
     )
-    pairs = (
-        buckets.filter(
-            (F.size("_ids") >= 2) & (F.size("_ids") <= max_bucket_size)
-        )
-        .select(F.explode(_pair_combos(F.col("_ids"))).alias("_p"))
-        .select(F.col("_p.id_a").alias("uri_a"), F.col("_p.id_b").alias("uri_b"))
-        .distinct()
-    )
-    return pairs, dropped
 
 
 def verified_edges(

@@ -687,7 +687,15 @@ class SparqlEngine:
         lonly = [c for c in left.columns if c not in common]
         ronly = [c for c in right.columns if c not in common]
         if not common:
-            out = left.crossJoin(right)
+            if how == "left":
+                # SPARQL LeftJoin with disjoint domains: every left row
+                # survives; it pairs with each right row if any exist,
+                # else extends with unbound (NULL) vars.  A crossJoin
+                # here would DROP all left rows whenever the optional
+                # side is empty (round-4 advice, sparql.py:690).
+                out = left.join(right, F.lit(True), "left")
+            else:
+                out = left.crossJoin(right)
             maybe = set(lmaybe) | (set(right.columns) if how == "left" else set(rmaybe))
             return out, maybe
         eq = [c for c in common if c not in lmaybe and c not in rmaybe]
@@ -1002,11 +1010,17 @@ class SparqlEngine:
                     raise SparqlError(
                         f"?{v} projected but neither aggregated nor grouped"
                     )
-            df = df.select(*(proj or group_by)).distinct()
+            # Group over the FULL key set, evaluate HAVING on that
+            # frame, then project — distinct over a projected subset
+            # would collapse groups (wrong cardinality) and hide
+            # unprojected grouping vars from HAVING (round-4 advice,
+            # sparql.py:1005).
+            grouped = df.select(*group_by).distinct()
             if extras["having"] is not None:
-                df = df.filter(
-                    self._filter_to_column(extras["having"], set(df.columns))
+                grouped = grouped.filter(
+                    self._filter_to_column(extras["having"], set(grouped.columns))
                 )
+            df = grouped.select(*(proj or group_by))
         elif aggs or group_by:
             keys = group_by or proj  # bare projected vars double as keys
             for v in proj:

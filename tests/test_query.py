@@ -561,6 +561,57 @@ def test_sparql_group_by_without_aggregate_projection_checked(graph):
         )
 
 
+def test_sparql_group_by_subset_projection_keeps_cardinality(graph):
+    # round-4 advice: projecting a strict subset of the grouping keys
+    # must NOT collapse groups — one output row per (?p, ?s) group.
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    q = """SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p ?s"""
+    out = SparqlEngine(graph).execute(q)
+    assert out.columns == ["p"]
+    full = SparqlEngine(graph).execute(
+        "SELECT ?p ?s WHERE { ?s ?p ?o } GROUP BY ?p ?s"
+    )
+    assert out.count() == full.count() == 9
+
+
+def test_sparql_group_by_having_on_unprojected_key(graph):
+    # HAVING may reference grouping vars absent from the projection.
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    q = f"""PREFIX sales: <{NS}>
+    SELECT ?p WHERE {{ ?s ?p ?o }} GROUP BY ?p ?s
+    HAVING (?s = <{R}Jane>)"""
+    out = SparqlEngine(graph).execute(q)
+    rows = sorted(r.p for r in out.collect())
+    assert rows == [NS + "hasRole", NS + "worksFor"]
+
+
+def test_sparql_optional_disjoint_vars_keeps_left(graph):
+    # round-4 advice (medium): OPTIONAL sharing no vars with the left
+    # group must keep every left row when the optional side is empty
+    # (SPARQL LeftJoin), not cross-join it away.
+    q = f"""PREFIX sales: <{NS}>
+    SELECT ?name ?r WHERE {{
+      ?e sales:hasName ?name .
+      OPTIONAL {{ ?x sales:noSuchPredicate ?r }}
+    }}"""
+    rows = {(r.name, r.r) for r in execute_sparql(graph, q).collect()}
+    assert rows == {("Acme Corp", None), ("Beta Inc", None)}
+
+
+def test_sparql_optional_disjoint_vars_nonempty_right(graph):
+    # ... and when the optional side is non-empty, each left row pairs
+    # with each optional solution (the cross-product LeftJoin case).
+    q = f"""PREFIX sales: <{NS}>
+    SELECT ?name ?role WHERE {{
+      ?e sales:hasName ?name .
+      OPTIONAL {{ ?x sales:hasRole ?role }}
+    }}"""
+    rows = {(r.name, r.role) for r in execute_sparql(graph, q).collect()}
+    assert rows == {("Acme Corp", "CEO"), ("Beta Inc", "CEO")}
+
+
 # -- round-4: transitive property paths ---------------------------------
 
 @pytest.fixture(scope="module")
