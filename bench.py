@@ -37,6 +37,23 @@ def _steal_jiffies() -> int:
     return int(parts[8]) if len(parts) > 8 else 0
 
 
+#: steal-jiffies per wall-second above which a bench window is
+#: adjudged noisy.  Calibration from the recorded official runs: clean
+#: windows show ~0.7-2.1 jiffies/s (r4 official: 87 over 41.4 s; the
+#: r3 confirmation run: 1219 over a ~2 min A/B), noisy windows ≥80
+#: jiffies/s (9304/109.6 s, 17592/~150 s — the runs whose minhash
+#: times tracked steal 3-4× over steady).  25 jiffies/s = 0.25 CPU
+#: continuously stolen, comfortably between the two populations.
+NOISY_STEAL_RATE = 25.0
+
+
+def is_noisy(steal_delta: int, wall_sec: float, rate: float = NOISY_STEAL_RATE) -> bool:
+    """True when the window's steal rate marks it co-tenant-noisy —
+    a dirty window must never silently become the official number
+    (round-4 verdict, brief #8)."""
+    return wall_sec > 0 and steal_delta / wall_sec > rate
+
+
 def _warm_up(spark, cpus: int) -> None:
     """JMH-style untimed warm-up of engine INFRASTRUCTURE only:
     the python worker pool (one numpy import per worker), the Arrow
@@ -116,32 +133,7 @@ def main() -> None:
         "tpch_q3ish",
     ]
 
-    # Two repetitions per query, report the MIN.  This VM shows ±40%
-    # (occasionally 4×) run-to-run wall-clock swings from host-level
-    # interference the guest cannot observe (steal < 0.5% while a
-    # whole run slows 4×).  That noise is strictly additive, so min is
-    # the standard estimator.  spark.catalog.clearCache() between reps
-    # drops every persisted intermediate — rep 2 re-reads, re-shuffles
-    # and re-executes every UDF; only JVM JIT stays warm, which is the
-    # steady state _warm_up already targets.
-    bench_t0 = time.monotonic()
-    load_start, steal_start = _loadavg(), _steal_jiffies()
-    reps: dict[str, list[float]] = {name: [] for name in headline}
-    rep_stamps: dict[str, list[float]] = {name: [] for name in headline}
-    for _rep in range(2):
-        for name in headline:
-            t0 = time.monotonic()
-            df = qs[name](spark, sf_dir)
-            n = df.count()  # force full execution
-            reps[name].append(round(time.monotonic() - t0, 3))
-            # offset of each rep's start from bench start: lets a reader
-            # correlate a slow rep with a loadavg spike window
-            rep_stamps[name].append(round(t0 - bench_t0, 1))
-            _ = n
-        spark.catalog.clearCache()
-    times: dict[str, float] = {name: min(r) for name, r in reps.items()}
-
-    # KG pipeline throughput on synthetic pages (~proportional to SF)
+    # KG pipeline config (throughput measured inside _measure)
     from rdf_knowledge_extractor_spark.config import Configuration, RdfSchema
     from rdf_knowledge_extractor_spark.functions.extract import (
         extract_triples_stage,
@@ -167,29 +159,92 @@ def main() -> None:
     )
     pages = pages_dataframe(spark, n_pages, seed=42, num_partitions=cpus * 2).drop("text")
 
-    # same min-of-2 policy as the queries; the input is re-persisted
-    # untimed before each rep (clearCache dropped it), so every rep
-    # re-runs extraction, linking and canonicalization from scratch
-    pipeline_runs: list[float] = []
-    n_triples = 0
-    for _rep in range(2):
-        pages = pages.persist()
-        pages.count()  # materialize input outside the timed window
-        t0 = time.monotonic()
-        # html→text→extract fused in one mapInPandas (single Arrow crossing)
-        extracted = extract_triples_stage(pages, cfg, client_kind="stub", html_col="html")
-        triples, _ = split_triples_and_lineage(extracted)
-        triples = triples.persist()
-        merged = merge_results(triples)
-        mapping = link_entities(merged)
-        graph = canonicalize_triples(merged, mapping)
-        n_triples = graph.count()
-        pipeline_runs.append(round(time.monotonic() - t0, 3))
-        spark.catalog.clearCache()
-    pipeline_sec = min(pipeline_runs)
-    reps["kg_pipeline_full"] = pipeline_runs
-    times["kg_pipeline_full"] = round(pipeline_sec, 3)
+    def _measure() -> dict:
+        """One full measurement pass: headline queries (min-of-2) +
+        pipeline throughput (min-of-2), with its own noise window.
 
+        Two repetitions per query, report the MIN.  This VM shows ±40%
+        (occasionally 4×) run-to-run wall-clock swings from host-level
+        interference the guest cannot observe.  That noise is strictly
+        additive, so min is the standard estimator.
+        spark.catalog.clearCache() between reps drops every persisted
+        intermediate — rep 2 re-reads, re-shuffles and re-executes
+        every UDF; only JVM JIT stays warm, which is the steady state
+        _warm_up already targets."""
+        bench_t0 = time.monotonic()
+        load_start, steal_start = _loadavg(), _steal_jiffies()
+        reps: dict[str, list[float]] = {name: [] for name in headline}
+        rep_stamps: dict[str, list[float]] = {name: [] for name in headline}
+        for _rep in range(2):
+            for name in headline:
+                t0 = time.monotonic()
+                df = qs[name](spark, sf_dir)
+                n = df.count()  # force full execution
+                reps[name].append(round(time.monotonic() - t0, 3))
+                # offset of each rep's start from bench start: lets a
+                # reader correlate a slow rep with a load spike window
+                rep_stamps[name].append(round(t0 - bench_t0, 1))
+                _ = n
+            spark.catalog.clearCache()
+        times: dict[str, float] = {name: min(r) for name, r in reps.items()}
+
+        # same min-of-2 policy; the input is re-persisted untimed
+        # before each rep (clearCache dropped it), so every rep re-runs
+        # extraction, linking and canonicalization from scratch
+        pipeline_runs: list[float] = []
+        n_triples = 0
+        for _rep in range(2):
+            p = pages.persist()
+            p.count()  # materialize input outside the timed window
+            t0 = time.monotonic()
+            # html→text→extract fused in one mapInPandas (single Arrow crossing)
+            extracted = extract_triples_stage(p, cfg, client_kind="stub", html_col="html")
+            triples, _ = split_triples_and_lineage(extracted)
+            triples = triples.persist()
+            merged = merge_results(triples)
+            mapping = link_entities(merged)
+            graph = canonicalize_triples(merged, mapping)
+            n_triples = graph.count()
+            pipeline_runs.append(round(time.monotonic() - t0, 3))
+            spark.catalog.clearCache()
+        pipeline_sec = min(pipeline_runs)
+        reps["kg_pipeline_full"] = pipeline_runs
+        times["kg_pipeline_full"] = round(pipeline_sec, 3)
+
+        wall = round(time.monotonic() - bench_t0, 1)
+        steal = _steal_jiffies() - steal_start
+        return {
+            "times": times,
+            "reps": reps,
+            "pipeline_sec": pipeline_sec,
+            "n_triples": n_triples,
+            # noise evidence (VERDICT r3 item 1b): loadavg before/after,
+            # cumulative steal delta over the run, and each rep's start
+            # offset (sec from bench start) so a slow rep can be
+            # matched against the load window it ran in
+            "noise": {
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
+                "steal_jiffies_delta": steal,
+                "bench_wall_sec": wall,
+                "rep_start_offsets": rep_stamps,
+                "noisy": is_noisy(steal, wall),
+            },
+        }
+
+    # Self-defense (round-4 brief #8): a window whose steal rate marks
+    # it noisy retries ONCE; the attempt with the lower steal rate
+    # becomes the official number, and every attempt's noise block is
+    # kept so a dirty window can never silently become official.
+    attempts = [_measure()]
+    if attempts[0]["noise"]["noisy"] and os.environ.get("SPARK_GRAFT_NOISE_RETRY", "1") != "0":
+        attempts.append(_measure())
+    best = min(
+        attempts,
+        key=lambda a: a["noise"]["steal_jiffies_delta"] / max(a["noise"]["bench_wall_sec"], 1e-9),
+    )
+
+    times, pipeline_sec, n_triples = best["times"], best["pipeline_sec"], best["n_triples"]
     total = round(sum(times.values()), 3)
     result = {
         "metric": "headline_total_sec",
@@ -203,18 +258,10 @@ def main() -> None:
             "pages_per_sec": round(n_pages / pipeline_sec, 1),
             "triples_per_sec": round(n_triples / pipeline_sec, 1),
             "cpus": cpus,
-            "query_reps": reps,  # all repetitions behind each min
-            # noise evidence (VERDICT r3 item 1b): loadavg before/after,
-            # cumulative steal delta over the run, and each rep's start
-            # offset (sec from bench start) so a slow rep can be matched
-            # against the load window it ran in
-            "noise": {
-                "loadavg_start": load_start,
-                "loadavg_end": _loadavg(),
-                "steal_jiffies_delta": _steal_jiffies() - steal_start,
-                "bench_wall_sec": round(time.monotonic() - bench_t0, 1),
-                "rep_start_offsets": rep_stamps,
-            },
+            "query_reps": best["reps"],  # all repetitions behind each min
+            "noise": best["noise"],
+            "noisy": best["noise"]["noisy"],
+            "noise_attempts": [a["noise"] for a in attempts],
         },
     }
     spark.stop()
