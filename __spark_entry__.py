@@ -729,8 +729,34 @@ def q_tpch_q3ish(spark, sf):
     )
 
 
+def _rotate_for_driver_window(reg: dict) -> dict:
+    """Self-healing registry order for the driver's 50-row
+    CORRECTNESS window (round-4 brief #2): queries absent from the
+    most recent CORRECTNESS_r*.json move to the FRONT (internal order
+    preserved), so a query missed in round N is guaranteed a row in
+    round N+1 — every registered query is verified at least every
+    second round.  Deterministic given repo state; no-op when no
+    correctness file exists (first round, local runs)."""
+    import glob
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    files = sorted(glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")))
+    if not files:
+        return reg
+    try:
+        with open(files[-1]) as f:
+            covered = set(_json.load(f))
+    except (OSError, ValueError):
+        return reg
+    missed = {k: v for k, v in reg.items() if k not in covered}
+    rest = {k: v for k, v in reg.items() if k in covered}
+    return {**missed, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return _rotate_for_driver_window({
         "kg_triples_derive": q_kg_triples_derive,
         "kg_dedup_first": q_kg_dedup_first,
         "kg_insert_new": q_kg_insert_new,
@@ -785,7 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "tpch_q1": q_tpch_q1,
         "tpch_q3ish": q_tpch_q3ish,
-    }
+    })
 
 
 # ---------------------------------------------------------------------------
