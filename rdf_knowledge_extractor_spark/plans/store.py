@@ -234,9 +234,16 @@ class TripleStore:
         than this may belong to an IN-FLIGHT commit whose manifest swap
         hasn't happened yet, so it is skipped.  Returns the deleted
         paths."""
+        # live = only paths read() can reference (rows > 0, matching
+        # committed_paths).  Compacted-away history entries keep their
+        # old path with rows=0 for idempotency; including those here
+        # retained their data dirs forever (round-4 advice,
+        # store.py:237).  Zero-added batches' dirs are likewise
+        # unreachable from read() and safe to reclaim.
         live = {
             os.path.realpath(b["path"])
             for b in self._read_manifest()["batches"].values()
+            if b["rows"] > 0
         }
         now = time.time()
         deleted: list[str] = []

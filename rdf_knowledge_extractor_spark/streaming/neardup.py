@@ -19,8 +19,11 @@ in streaming/ingest.py):
    a shuffle join on the band key, never a scan of full texts;
 3. verify candidates with exact Jaccard on the stored int64 shingle
    arrays (only colliding pairs are verified);
-4. in-batch near-dups resolve by min-id-first (deterministic within
-   the micro-batch);
+4. in-batch near-dups resolve by GREEDY min-id-first admission over
+   the verified pair graph (deterministic within the micro-batch): a
+   doc is rejected only when a smaller-id near-dup was itself
+   admitted — in a chain a~b, b~c with a!~c, doc c is admitted
+   because its only near-dup b was rejected (round-4 advice);
 5. admitted docs append their bands + shingles to the state store and
    their rows to the output — both writes go to per-batch-id
    subdirectories, so a replayed micro-batch OVERWRITES its own output
@@ -30,7 +33,11 @@ in streaming/ingest.py):
 State size: O(admitted × bands) int64 rows + O(admitted) shingle
 arrays — the shingle table is the big one; at 100 TB it lives as a
 bucketed table on (id) and the band store bucketed on (band_val), so
-step 2's join co-locates.
+step 2's join co-locates.  State FILE COUNT is bounded by
+`compact_state` (round-4 brief #5): checkpoint-committed `batch=<id>`
+dirs fold into one file set per table, keeping the max compacted id
+as the partition value so the sink's `batch < batch_id` replay filter
+is unchanged; the sink triggers it automatically via `compact_every`.
 """
 
 from __future__ import annotations
@@ -40,6 +47,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rdf_knowledge_extractor_spark.operators.components import connected_components
 from rdf_knowledge_extractor_spark.operators.linking import _minhash_band_udf
 from rdf_knowledge_extractor_spark.operators.textdedup import (
     _with_hashed_shingles,
@@ -49,6 +57,156 @@ from rdf_knowledge_extractor_spark.operators.textdedup import (
 
 def _paths(state_dir: str) -> tuple[str, str]:
     return os.path.join(state_dir, "bands"), os.path.join(state_dir, "shingles")
+
+
+def _greedy_rejections(pairs: DataFrame, pre_rejected: DataFrame | None) -> DataFrame:
+    """DataFrame(id) of in-batch docs REJECTED under greedy
+    min-id-first admission — the documented first-arrival order within
+    a micro-batch.
+
+    admitted(x) ⇔ x not history-rejected AND no verified in-batch
+    near-dup y < x with admitted(y).  In a chain a~b, b~c with a!~c:
+    a admitted, b rejected (partner a admitted), c ADMITTED — its only
+    near-dup b was itself rejected.  The former shape rejected id_b of
+    every pair, transitively over-rejecting c (round-4 advice,
+    neardup.py:122).  `pre_rejected` (history near-dups) seeds the
+    rejected set: a history-rejected doc never suppresses its in-batch
+    peers, but is itself rejected.
+
+    Shape: connected components over the verified pair graph (one
+    component = one near-dup cluster), then the sequential greedy runs
+    per-component in `applyInPandas` — clusters are micro-batch-local
+    and small; the cross-batch giant-cluster problem lives in the
+    capped batch operator, not here."""
+    import pandas as pd
+
+    id_type = pairs.schema["id_a"].dataType.simpleString()
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    flagged = pairs
+    for side in ("id_a", "id_b"):
+        rej_col = f"_rej{side[-1]}"
+        if pre_rejected is None:
+            flagged = flagged.withColumn(rej_col, F.lit(False))
+        else:
+            flagged = flagged.join(
+                pre_rejected.select(
+                    F.col("id").alias(side), F.lit(True).alias(rej_col)
+                ),
+                on=side,
+                how="left",
+            ).fillna({rej_col: False})
+    edges = flagged.join(
+        comp.select(F.col("node").alias("id_a"), "component"), on="id_a"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        nbr: dict = {}
+        rejected = set()
+        for a, b, ra, rb in zip(pdf.id_a, pdf.id_b, pdf._reja, pdf._rejb):
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+            if ra:
+                rejected.add(a)
+            if rb:
+                rejected.add(b)
+        admitted: set = set()
+        out = []
+        for x in sorted(nbr):
+            if x in rejected or any(y in admitted for y in nbr[x]):
+                out.append(x)
+            else:
+                admitted.add(x)
+        return pd.DataFrame({"id": out})
+
+    return edges.groupBy("component").applyInPandas(greedy, f"id {id_type}")
+
+
+def _batch_dirs(table_dir: str) -> dict[int, str]:
+    """{batch_id: path} of `batch=<id>` partition dirs under a state
+    table (ignores dot/underscore names, which Spark's partition
+    discovery also skips)."""
+    out: dict[int, str] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for name in os.listdir(table_dir):
+        if name.startswith("batch="):
+            try:
+                out[int(name.split("=", 1)[1])] = os.path.join(table_dir, name)
+            except ValueError:
+                continue
+    return out
+
+
+def _finish_pending_compaction(table_dir: str) -> None:
+    """Crash recovery: a previous compact_state wrote its full tmp set
+    (marked by _SUCCESS) and deleted the old dirs, but died before the
+    final rename.  Finish the rename; an unmarked tmp is garbage from
+    a crash mid-write and is removed (the old dirs still exist)."""
+    import shutil
+
+    if not os.path.isdir(table_dir):
+        return
+    for name in os.listdir(table_dir):
+        if not name.startswith(".compact-tmp-"):
+            continue
+        tmp = os.path.join(table_dir, name)
+        target = os.path.join(table_dir, name.split("-", 3)[3])
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")) and not os.path.exists(
+            target
+        ):
+            os.rename(tmp, target)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_state(spark, state_dir: str, min_batches: int = 2) -> int:
+    """Rewrite the admitted-set state's `batch=<id>` dirs into ONE
+    file set per table (TripleStore.compact pattern) — at continuous
+    cadence every micro-batch re-lists and re-reads the full history,
+    so the file count must stay bounded (round-4 brief #5).
+
+    Replay safety: the HIGHEST batch id present is never compacted
+    (after a crash it may be re-attempted, and a replayed batch must
+    not see state its crashed attempt wrote — the `batch < batch_id`
+    filter in the sink).  Everything below it is checkpoint-committed
+    and final, and is rewritten into a single dir keeping the max
+    compacted id as its partition value, so every `batch < B`
+    comparison is unchanged.
+
+    Crash safety: the tmp set is complete (parquet _SUCCESS) before
+    any old dir is removed; a crash mid-protocol is finished or rolled
+    back by `_finish_pending_compaction` on the next call.  Returns
+    the number of batch dirs reclaimed (0 = nothing to do)."""
+    import shutil
+    import uuid
+
+    reclaimed = 0
+    for table_dir in _paths(state_dir):
+        _finish_pending_compaction(table_dir)
+        dirs = _batch_dirs(table_dir)
+        if len(dirs) < min_batches + 1:  # +1: the protected max id
+            continue
+        protect = max(dirs)
+        to_compact = {b: p for b, p in dirs.items() if b != protect}
+        target_val = max(to_compact)
+        tmp = os.path.join(
+            table_dir, f".compact-tmp-{uuid.uuid4().hex[:8]}-batch={target_val}"
+        )
+        spark.read.parquet(*to_compact.values()).write.mode("overwrite").parquet(tmp)
+        # point of no return: tmp is complete (_SUCCESS), olds go away,
+        # then tmp takes the target name.  The TARGET dir is removed
+        # FIRST: a crash anywhere after that leaves a _SUCCESS-marked
+        # tmp with no target, which recovery finishes by rename —
+        # surviving old dirs then merely duplicate rows the compacted
+        # set already holds (harmless: the sink's candidate join is
+        # distinct), and the next pass folds them in.
+        shutil.rmtree(to_compact[target_val])
+        for b, p in to_compact.items():
+            if b != target_val:
+                shutil.rmtree(p)
+        os.rename(tmp, os.path.join(table_dir, f"batch={target_val}"))
+        reclaimed += len(to_compact) - 1
+    return reclaimed
 
 
 def start_neardup_filter_sink(
@@ -62,6 +220,7 @@ def start_neardup_filter_sink(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    compact_every: int | None = None,
 ):
     """Start the admission-filter sink; returns the StreamingQuery.
 
@@ -118,12 +277,15 @@ def start_neardup_filter_sink(
                 .distinct()
             )
 
-        # in-batch near-dups: keep the min id of each verified pair
+        # in-batch near-dups: greedy min-id-first admission over the
+        # verified pair graph (history-rejected docs seed the rejected
+        # set but never suppress their in-batch peers)
         pairs = minhash_lsh_pairs(
             batch_df, id_col=id_col, text_col=text_col, k=k,
             threshold=threshold, num_perm=num_perm, bands=bands,
-        ).select(F.col("id_b").alias("id"))
-        rejected = pairs if rejected is None else rejected.unionByName(pairs)
+        ).select("id_a", "id_b")
+        inbatch = _greedy_rejections(pairs, rejected)
+        rejected = inbatch if rejected is None else rejected.unionByName(inbatch)
         admitted_ids = (
             sh.select("id").join(rejected.distinct(), on="id", how="left_anti")
         ).persist()
@@ -144,6 +306,11 @@ def start_neardup_filter_sink(
             .write.mode("overwrite").parquet(os.path.join(shingle_dir, suffix))
         )
         spark.catalog.clearCache()
+        # bounded state-file count at continuous cadence: once the
+        # batch-dir count passes the trigger, fold all checkpoint-
+        # committed dirs (everything but this batch's own) into one
+        if compact_every is not None and len(_batch_dirs(band_dir)) > compact_every:
+            compact_state(spark, state_dir)
 
     return (
         docs_stream.writeStream.foreachBatch(admit_batch)

@@ -171,3 +171,23 @@ def test_footer_row_count_matches_spark_count(store, spark):
     assert store.insert_if_absent(_triples(spark, rows), "big") == 57
     assert store.read().count() == 57
     assert store.total_rows() == 57
+
+
+def test_vacuum_reclaims_compacted_away_batch_dirs(store, spark):
+    # round-4 advice (store.py:237): compact() keeps each history
+    # entry's path with rows=0; vacuum must treat those as dead (only
+    # rows>0 paths are read()-reachable) or old dirs live forever.
+    store.insert_if_absent(_triples(spark, [("s1", "p", "o1")]), "b1")
+    store.insert_if_absent(_triples(spark, [("s2", "p", "o2")]), "b2")
+    total = store.compact()
+    assert total == 2
+    data = store.root / "data"
+    assert len(list(data.iterdir())) == 3  # b1 + b2 + compact set
+    deleted = store.vacuum(min_age_sec=0)
+    assert len(deleted) == 2
+    import os
+
+    assert all("compact" not in os.path.basename(d) for d in deleted)
+    # store still reads fully, idempotency history intact
+    assert store.read().count() == 2
+    assert store.insert_if_absent(_triples(spark, [("s1", "p", "o1")]), "b1") == 1

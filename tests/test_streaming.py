@@ -293,3 +293,119 @@ def test_streaming_neardup_filter_across_batches(spark, tmp_path):
     assert 10 not in got2
     assert 11 in got2
     assert got2 >= {0, 2, 11}
+
+
+def test_greedy_inbatch_admission_chain(spark):
+    """round-4 advice (neardup.py:122): chain a~b, b~c with a!~c must
+    admit c — its only near-dup b was itself rejected.  Also: a
+    history-rejected doc never suppresses its in-batch peers."""
+    from rdf_knowledge_extractor_spark.streaming.neardup import _greedy_rejections
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rej = {r.id for r in _greedy_rejections(pairs, None).collect()}
+    assert rej == {2}  # 1 admitted, 2 rejected, 3 re-admitted
+
+    # doc 1 already rejected by history: 2 is then admitted, 3 rejected
+    hist = spark.createDataFrame([(1,)], "id long")
+    rej = {r.id for r in _greedy_rejections(pairs, hist).collect()}
+    assert rej == {1, 3}
+
+    # two independent pairs resolve independently
+    pairs2 = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    rej = {r.id for r in _greedy_rejections(pairs2, None).collect()}
+    assert rej == {2, 6}
+
+
+def test_neardup_state_compaction_preserves_admission(spark, tmp_path):
+    """round-4 brief #5: N batches -> compact -> admission decisions
+    identical, state file count bounded; the max batch dir survives."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from rdf_knowledge_extractor_spark.streaming.neardup import (
+        _batch_dirs,
+        compact_state,
+        start_neardup_filter_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "in the warm afternoon sun near the old garden wall by the gate"
+    )
+    texts = {
+        0: base,
+        1: "totally unrelated content about parquet partition discovery "
+           "and the structured streaming checkpoint commit protocol",
+        2: base + " trailing near dup marker",  # near-dup of 0 -> reject
+        3: "third novel document mentioning adaptive query execution "
+           "and broadcast joins in distributed sql engines at scale",
+    }
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        q = start_neardup_filter_sink(
+            stream, out_dir, state_dir, ckpt, threshold=0.7
+        )
+        q.awaitTermination(180)
+
+    for i in (0, 1, 2):
+        spark.createDataFrame([(i, texts[i])], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+        run_stream()
+    band_dir = os.path.join(state_dir, "bands")
+    assert len(_batch_dirs(band_dir)) == 3
+
+    reclaimed = compact_state(spark, state_dir, min_batches=2)
+    assert reclaimed >= 1
+    dirs = _batch_dirs(band_dir)
+    assert len(dirs) == 2  # compacted set + protected max id
+    assert max(dirs) == 2
+
+    # admission against compacted state is unchanged: a near-copy of
+    # doc 0 is still rejected, a novel doc still admitted
+    spark.createDataFrame(
+        [(10, base + " another tail"), (3, texts[3])], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_stream()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0, 1, 3}
+
+
+def test_neardup_compaction_crash_recovery(spark, tmp_path):
+    """A _SUCCESS-marked tmp with no target is finished by rename; an
+    unmarked tmp is rolled back."""
+    import os
+
+    from rdf_knowledge_extractor_spark.streaming.neardup import (
+        _batch_dirs,
+        _finish_pending_compaction,
+    )
+
+    band_dir = tmp_path / "bands"
+    # complete tmp (crash after olds removed, before rename)
+    done = band_dir / ".compact-tmp-deadbeef-batch=4"
+    done.mkdir(parents=True)
+    (done / "_SUCCESS").touch()
+    (done / "part-0.parquet").write_bytes(b"x")
+    # incomplete tmp (crash mid-write)
+    half = band_dir / ".compact-tmp-cafebabe-batch=2"
+    half.mkdir()
+    (half / "part-0.parquet").write_bytes(b"y")
+    (band_dir / "batch=2").mkdir()  # its olds still exist
+
+    _finish_pending_compaction(str(band_dir))
+    assert (band_dir / "batch=4" / "part-0.parquet").exists()
+    assert not half.exists()
+    assert set(_batch_dirs(str(band_dir))) == {2, 4}
