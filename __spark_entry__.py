@@ -250,6 +250,38 @@ def q_kg_sparql_path_star(spark, sf):
     return execute_sparql(graph, q)
 
 
+def q_kg_sparql_path_seeded(spark, sf):
+    """Bound-endpoint transitive path (round-5, verdict brief #3):
+    `<d0> kg:nextDoc+ ?b` seeds the frontier at the constant
+    (query/sparql.py _seeded_closure — broadcast BFS over only the
+    reachable region) instead of computing the full closure and
+    filtering; the oracle recomputes with DuckDB WITH RECURSIVE seeded
+    from the same constant."""
+    from pyspark.sql import Window
+
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    docs = _docs(spark, sf).select("doc_id", "source")
+    w1 = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w1))
+    w2 = Window.partitionBy(
+        "source", F.floor((F.col("rn") - 1) / 20)
+    ).orderBy("doc_id")
+    chain = ranked.withColumn("next_id", F.lead("doc_id").over(w2)).where(
+        F.col("next_id").isNotNull()
+    )
+    graph = chain.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit(NS + "nextDoc").alias("predicate"),
+        F.concat(F.lit("d"), F.col("next_id").cast("string")).alias("object"),
+    )
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?b WHERE {{ <d0> kg:nextDoc+ ?b }}
+    """
+    return execute_sparql(graph, q)
+
+
 def q_kg_sparql_minus(spark, sf):
     """SPARQL MINUS (round-4 extension): docs whose source has no
     hasRole triple — shared-domain anti-join semantics
@@ -771,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_construct": q_kg_sparql_construct,
         "kg_sparql_path": q_kg_sparql_path,
         "kg_sparql_path_star": q_kg_sparql_path_star,
+        "kg_sparql_path_seeded": q_kg_sparql_path_seeded,
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_bind_values": q_kg_sparql_bind_values,
         "kg_traversal_2hop": q_kg_traversal_2hop,
@@ -945,6 +978,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS a, dst AS b FROM closure
             UNION
             SELECT n AS a, n AS b FROM nodes
+        """,
+        "kg_sparql_path_seeded": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst FROM (
+                SELECT 'd' || CAST(doc_id AS VARCHAR) AS src,
+                       'd' || CAST(lead(doc_id) OVER (
+                           PARTITION BY source, floor((rn - 1) / 20)
+                           ORDER BY doc_id) AS VARCHAR) AS dst
+                FROM (
+                  SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                  FROM documents))
+              WHERE dst IS NOT NULL
+            ),
+            reach AS (
+              SELECT dst FROM edges WHERE src = 'd0'
+              UNION
+              SELECT e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT dst AS b FROM reach
         """,
         "kg_sparql_minus": f"""
             WITH g AS ({dedup})

@@ -126,6 +126,10 @@ def _tokenize(text: str) -> list[str]:
 class SparqlEngine:
     def __init__(self, graph: DataFrame):
         self.graph = graph
+        #: diagnostics of the most recent transitive-path evaluation:
+        #: {"mode": "seeded"|"full", "rounds": int} — lets tests assert
+        #: a bound-endpoint path never computed the full closure
+        self.last_path_stats: dict | None = None
 
     # -- parsing -----------------------------------------------------
     def parse(self, query: str):
@@ -583,8 +587,7 @@ class SparqlEngine:
         )
         return nodes.select(F.col("_n").alias("_src"), F.col("_n").alias("_dst"))
 
-    @staticmethod
-    def _transitive_closure(edges: DataFrame) -> DataFrame:
+    def _transitive_closure(self, edges: DataFrame) -> DataFrame:
         """Distinct (src, dst) pairs connected by ≥1 edge hops —
         semi-naive iteration: join the NEW frontier (not the whole
         closure) against the base edges each round, anti-join out known
@@ -594,18 +597,18 @@ class SparqlEngine:
         lineage that would otherwise make driver-side re-analysis the
         bottleneck, and bounds rounds by graph diameter.
 
-        Scale note: this computes the FULL closure before any
-        endpoint-constant filter — correct for KG-sized graphs (the
-        only tables with transitive predicates here).  A bound subject
-        at web scale should use the seeded frontier in
-        operators/traversal.py instead (same loop, frontier starts at
-        the seed)."""
+        Scale note: this computes the FULL closure — used only when
+        BOTH endpoints are variables.  A bound endpoint routes to
+        `_seeded_closure` instead (round-4 brief #3): O(reachable-
+        from-seed) vs O(closure) — at web scale the difference between
+        touching one entity's neighborhood and the whole graph."""
         base = edges.select("_src", "_dst").distinct().localCheckpoint(eager=True)
         closure = base
         frontier = base
         hop = base.select(
             F.col("_src").alias("_mid"), F.col("_dst").alias("_nd")
         )
+        rounds = 0
         while True:
             nxt = (
                 frontier.join(hop, frontier["_dst"] == hop["_mid"])
@@ -614,13 +617,85 @@ class SparqlEngine:
             )
             new = nxt.join(closure, on=["_src", "_dst"], how="left_anti")
             new = new.localCheckpoint(eager=True)
+            rounds += 1
             if new.isEmpty():
+                self.last_path_stats = {"mode": "full", "rounds": rounds}
                 return closure
             closure = closure.unionByName(new).localCheckpoint(eager=True)
             frontier = new
 
+    def _seeded_closure(self, edges: DataFrame, seed: str, forward: bool) -> DataFrame:
+        """(_src, _dst) pairs of the ≥1-hop closure restricted to one
+        CONSTANT endpoint — BFS from the seed over only the reachable
+        region (operators/traversal.py shape: tiny broadcast frontier
+        joined against the edge table, visited anti-join,
+        localCheckpoint per round).  `forward=True` evaluates
+        `<seed> p+ ?y` (rows (seed, y)); `forward=False` evaluates
+        `?x p+ <seed>` by walking the transposed edges (rows (x, seed)).
+        Never materializes pairs outside the seed's reachable set —
+        the round-4 brief #3 scale fix."""
+        spark = edges.sparkSession
+        e = (
+            edges.select("_src", "_dst")
+            if forward
+            else edges.select(
+                F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
+            )
+        ).distinct().localCheckpoint(eager=True)
+        frontier = spark.createDataFrame([(seed,)], "_src string")
+        reached = spark.createDataFrame([], "_n string")
+        rounds = 0
+        while True:
+            nxt = (
+                e.join(F.broadcast(frontier), on="_src")
+                .select(F.col("_dst").alias("_n"))
+                .distinct()
+            )
+            new = nxt.join(reached, on="_n", how="left_anti").localCheckpoint(
+                eager=True
+            )
+            rounds += 1
+            if new.isEmpty():
+                break
+            reached = reached.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select(F.col("_n").alias("_src"))
+        self.last_path_stats = {"mode": "seeded", "rounds": rounds}
+        if forward:
+            return reached.select(F.lit(seed).alias("_src"), F.col("_n").alias("_dst"))
+        return reached.select(F.col("_n").alias("_src"), F.lit(seed).alias("_dst"))
+
+    @staticmethod
+    def _term_value(term: str) -> str | None:
+        """Constant value of an endpoint term (IRI or literal), None
+        for variables."""
+        if term.startswith("?"):
+            return None
+        return term[4:] if term.startswith("\0LIT") else term
+
     def _compile_path_pattern(self, p: _Pattern) -> tuple[DataFrame, set[str]]:
-        df = self._path_df(p.p)
+        kind = p.p[0] if isinstance(p.p, tuple) else None
+        s_val, o_val = self._term_value(p.s), self._term_value(p.o)
+        if kind in ("pplus", "pstar") and (s_val is not None or o_val is not None):
+            # bound-endpoint transitive path: seed the frontier at the
+            # constant instead of computing the full closure and
+            # filtering (round-4 brief #3).  When both ends are bound,
+            # seed from the subject; the constant-object filter below
+            # still applies.
+            inner = self._path_df(p.p[1])
+            forward = s_val is not None
+            seed = s_val if forward else o_val
+            df = self._seeded_closure(inner, seed, forward)
+            if kind == "pstar":
+                # zero-length path at a constant endpoint binds the
+                # other end to the constant itself (SPARQL 1.1 §18.4
+                # ZeroLengthPath with a term argument — unconditional,
+                # no graph-membership test)
+                zero = df.sparkSession.createDataFrame(
+                    [(seed, seed)], "_src string, _dst string"
+                )
+                df = df.unionByName(zero).distinct()
+        else:
+            df = self._path_df(p.p)
         var_cols: dict[str, str] = {}
         for term, col in ((p.s, "_src"), (p.o, "_dst")):
             if term.startswith("?"):

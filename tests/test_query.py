@@ -805,3 +805,66 @@ def test_sparql_minus_with_union_maybe_null(compat_graph):
     # branch-1 row (x=urn:x1); the ?y row has x unbound → survives
     rows = {(r.s, r.x, r.y) for r in execute_sparql(compat_graph, q).collect()}
     assert rows == {("urn:s2", None, "urn:y2")}
+
+
+# -- round-5: bound-endpoint transitive paths seed the frontier ----------
+
+@pytest.fixture(scope="module")
+def two_chain_graph(spark):
+    """Short chain a→b→c plus a LONGER disconnected chain e→…→j, so a
+    seeded walk from the short chain must finish in fewer rounds than
+    any full-closure evaluation of the graph."""
+    rows = [("urn:a", NS + "next", "urn:b"), ("urn:b", NS + "next", "urn:c")]
+    long = ["urn:e", "urn:f", "urn:g", "urn:h", "urn:i", "urn:j"]
+    rows += [(s, NS + "next", o) for s, o in zip(long, long[1:])]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+
+
+def test_sparql_path_bound_subject_is_seeded_not_full_closure(two_chain_graph):
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    eng = SparqlEngine(two_chain_graph)
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?b WHERE {{ <urn:a> kg:next+ ?b }}"""
+    assert sorted(r.b for r in eng.execute(q).collect()) == ["urn:b", "urn:c"]
+    # seeded BFS from urn:a: frontiers {b}, {c}, {} -> 3 rounds,
+    # bounded by the SHORT chain; the full closure needs the long
+    # chain's diameter (5 hops -> >=5 rounds), asserted below
+    assert eng.last_path_stats == {"mode": "seeded", "rounds": 3}
+
+    q_full = f"""PREFIX kg: <{NS}>
+    SELECT ?a ?b WHERE {{ ?a kg:next+ ?b }}"""
+    eng.execute(q_full).count()
+    assert eng.last_path_stats["mode"] == "full"
+    assert eng.last_path_stats["rounds"] > 3
+
+
+def test_sparql_path_bound_object_seeds_reverse(two_chain_graph):
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    eng = SparqlEngine(two_chain_graph)
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?a WHERE {{ ?a kg:next+ <urn:g> }}"""
+    assert sorted(r.a for r in eng.execute(q).collect()) == ["urn:e", "urn:f"]
+    assert eng.last_path_stats["mode"] == "seeded"
+
+
+def test_sparql_path_star_bound_subject_includes_seed(two_chain_graph):
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    eng = SparqlEngine(two_chain_graph)
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?b WHERE {{ <urn:b> kg:next* ?b }}"""
+    assert sorted(r.b for r in eng.execute(q).collect()) == ["urn:b", "urn:c"]
+    assert eng.last_path_stats["mode"] == "seeded"
+
+
+def test_sparql_path_both_endpoints_bound(two_chain_graph):
+    q_hit = f"""PREFIX kg: <{NS}>
+    SELECT ?z WHERE {{ <urn:e> kg:next+ <urn:j> . BIND(1 AS ?z) }}"""
+    assert execute_sparql(two_chain_graph, q_hit).count() == 1
+    q_miss = f"""PREFIX kg: <{NS}>
+    SELECT ?z WHERE {{ <urn:a> kg:next+ <urn:j> . BIND(1 AS ?z) }}"""
+    assert execute_sparql(two_chain_graph, q_miss).count() == 0
