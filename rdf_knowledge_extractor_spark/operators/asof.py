@@ -45,6 +45,7 @@ def asof_join(
     time_slices: int | str | None = "auto",
     auto_threshold_ratio: float = 0.05,
     auto_min_count: int = 10_000,
+    probe_fraction: float | None = 0.01,
 ) -> DataFrame:
     """Left as-of join: every left row + latest right row with
     right.ts ≤ left.ts on the same key (nulls when no prior right row,
@@ -65,10 +66,19 @@ def asof_join(
     if any key holds ≥ `auto_threshold_ratio` of all rows (and ≥
     `auto_min_count` rows), the sliced plan is selected with S =
     defaultParallelism (capped at 32); otherwise the plan is the exact
-    single-window plan, unchanged.  The probe costs one map-side-
-    combined aggregation pass — at 100 TB that is cheap insurance
-    against a stage-defining straggler; callers on known-uniform keys
-    pass None to skip it."""
+    single-window plan, unchanged.
+
+    The probe runs on a deterministic `probe_fraction` Bernoulli sample
+    (round-4 brief #4) whenever the sample is statistically reliable
+    for the requested `auto_min_count` (expected hot-key sample ≥ 30
+    rows, i.e. `min_count · fraction ≥ 30`); the sampled thresholds are
+    scaled with a 0.7 slack factor so borderline hot keys err toward
+    slicing (a false positive is still an exact plan; a false negative
+    is a straggler).  Small inputs — where the sample would be too
+    noisy — and `probe_fraction=None` fall back to the exact full-pass
+    probe.  At 100 TB the sampled probe costs ~1% of an aggregation
+    pass instead of a full one; callers on known-uniform keys pass
+    `time_slices=None` to skip probing entirely."""
     keys = [on] if isinstance(on, str) else list(on)
     l_cols = [c for c in left.columns if c not in keys]
     r_payload = [c for c in right.columns if c not in keys and c != ts_col]
@@ -92,7 +102,7 @@ def asof_join(
 
     if time_slices == "auto":
         time_slices = _probe_hot_keys(
-            merged, keys, auto_threshold_ratio, auto_min_count
+            merged, keys, auto_threshold_ratio, auto_min_count, probe_fraction
         )
 
     if time_slices is None:
@@ -124,17 +134,44 @@ def asof_join(
     )
 
 
+def _probe_plan(
+    threshold_ratio: float, min_count: int, fraction: float | None
+) -> tuple[str, float, int]:
+    """(mode, effective_ratio, effective_min_count) for the hot-key
+    probe.  mode == "sampled" only when a `fraction` Bernoulli sample
+    carries ≥ 30 expected rows of a min_count-sized hot key — below
+    that the sample is too noisy and the probe runs exact.  Sampled
+    thresholds get a 0.7 slack so borderline keys still trigger
+    slicing (false positive = different-but-exact plan; false
+    negative = straggler)."""
+    if fraction is None or not (0.0 < fraction < 1.0) or min_count * fraction < 30:
+        return "exact", threshold_ratio, min_count
+    return (
+        "sampled",
+        threshold_ratio * 0.7,
+        max(1, int(min_count * fraction * 0.7)),
+    )
+
+
 def _probe_hot_keys(
-    merged: DataFrame, keys: list[str], threshold_ratio: float, min_count: int
+    merged: DataFrame,
+    keys: list[str],
+    threshold_ratio: float,
+    min_count: int,
+    fraction: float | None = 0.01,
 ) -> int | None:
     """Auto-slicing decision: S (int) when a hot key would serialize the
     window, else None (single-window plan).  Composite keys probe as one
-    struct column through detect_hot_keys (operators/skew.py)."""
+    struct column through detect_hot_keys (operators/skew.py); the pass
+    is sampled when _probe_plan deems the sample reliable."""
     from rdf_knowledge_extractor_spark.operators.skew import detect_hot_keys
 
     probe = merged.select(F.struct(*[F.col(k) for k in keys]).alias("_k"))
+    mode, eff_ratio, eff_min = _probe_plan(threshold_ratio, min_count, fraction)
+    if mode == "sampled":
+        probe = probe.sample(fraction=fraction, seed=17)
     hot = detect_hot_keys(
-        probe, "_k", threshold_ratio=threshold_ratio, min_count=min_count
+        probe, "_k", threshold_ratio=eff_ratio, min_count=eff_min
     )
     if hot.isEmpty():
         return None

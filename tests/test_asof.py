@@ -215,3 +215,51 @@ def test_asof_auto_keeps_single_window_plan_for_uniform_keys(spark):
         )
     )
     assert sorted(map(tuple, auto.collect())) == base
+
+
+# -- round-5: sampled hot-key probe (VERDICT r4 item 4) ------------------
+
+def test_probe_plan_small_min_count_falls_back_to_exact():
+    """Tiny inputs (and the existing small-fixture tests) must keep the
+    deterministic exact probe: a 1% sample of a 50-row hot key is
+    noise, not signal."""
+    from rdf_knowledge_extractor_spark.operators.asof import _probe_plan
+
+    assert _probe_plan(0.05, 50, 0.01) == ("exact", 0.05, 50)
+    assert _probe_plan(0.05, 10_000, None) == ("exact", 0.05, 10_000)
+    assert _probe_plan(0.05, 10_000, 1.0) == ("exact", 0.05, 10_000)
+
+
+def test_probe_plan_scale_defaults_sample_with_slack():
+    from rdf_knowledge_extractor_spark.operators.asof import _probe_plan
+
+    mode, ratio, min_count = _probe_plan(0.05, 10_000, 0.01)
+    assert mode == "sampled"
+    assert ratio == pytest.approx(0.035)
+    assert min_count == 70  # 10_000 * 0.01 * 0.7
+
+
+def test_asof_sampled_probe_triggers_slicing_and_stays_exact(spark):
+    """Large enough for the sampled path (min_count*fraction >= 30):
+    the hot key must still auto-select the sliced plan off the sample,
+    and the sliced result must equal the exact single-window plan."""
+    hot = [(i, "hot", _ts(i % 59)) for i in range(3000)]
+    cold = [(10_000 + i, f"u{i % 40}", _ts((i * 7) % 59)) for i in range(3000)]
+    left = spark.createDataFrame(hot + cold, "lid long, user string, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, _ts(m), m, float(m)) for k in ["hot", "u3"] for m in range(0, 59, 2)],
+        "user string, ts timestamp, rid long, rval double",
+    )
+    auto = asof_join(
+        left, right, on="user", ts_col="ts",
+        auto_min_count=300, probe_fraction=0.1,
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "_slice" in plan, "sampled probe should have detected the hot key"
+    base = sorted(
+        map(
+            tuple,
+            asof_join(left, right, on="user", ts_col="ts", time_slices=None).collect(),
+        )
+    )
+    assert sorted(map(tuple, auto.collect())) == base
