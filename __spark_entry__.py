@@ -668,6 +668,29 @@ def q_multimodal_audio(spark, sf):
     )
 
 
+def q_multimodal_jpeg(spark, sf):
+    """Real-mode baseline-JPEG decode (functions/jpeg.py) over the
+    deterministic flat-tile corpus (documents_as_jpeg): under the
+    all-16-quant / multiples-of-4 contract decode is bit-exact, so
+    width/height/channels/mean are closed-form integers the DuckDB
+    oracle recomputes from doc_id without parsing any JPEG."""
+    from rdf_knowledge_extractor_spark.functions.multimodal import (
+        documents_as_jpeg,
+        extract_media_features,
+    )
+
+    media = documents_as_jpeg(_docs(spark, sf))
+    feats = extract_media_features(media, deterministic_fake=False, feature_dim=8)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1) * 1e4).cast("long").alias("width"),
+        F.round(F.element_at("feature", 2) * 1e4).cast("long").alias("height"),
+        F.round(F.element_at("feature", 3) * 4).cast("long").alias("channels"),
+        F.round(F.element_at("feature", 4) * 255).cast("long").alias("mean_px"),
+        "decoder",
+    )
+
+
 def q_events_hourly(spark, sf):
     return (
         _events(spark, sf)
@@ -839,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_terms": q_corpus_top_terms,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -1329,6 +1353,32 @@ def oracle_sql() -> dict[str, str]:
                    round(((doc_id % 9) + 1) / 10.0, 4) AS rms,
                    'wav-stdlib-v1' AS decoder
             FROM documents
+        """,
+        "multimodal_jpeg": """
+            -- closed forms of the synthesized flat-tile JPEG
+            -- (documents_as_jpeg): tx x ty grid of flat 8x8 tiles,
+            -- tile k = 4*((7*id + 13*k) % 64); all-16 quant table
+            -- makes decode bit-exact, and the tile sum (multiples of
+            -- 4, tile count 1/2/4) divides evenly into an integer mean
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS id,
+                     CAST(doc_id % 2 + 1 AS BIGINT) AS tx,
+                     CAST((doc_id // 2) % 2 + 1 AS BIGINT) AS ty
+              FROM documents
+            )
+            SELECT id AS media_id,
+                   8 * tx AS width,
+                   8 * ty AS height,
+                   CAST(1 AS BIGINT) AS channels,
+                   CAST(4 * (
+                        (7 * id) % 64
+                        + CASE WHEN tx * ty >= 2 THEN (7 * id + 13) % 64 ELSE 0 END
+                        + CASE WHEN tx * ty = 4
+                               THEN (7 * id + 26) % 64 + (7 * id + 39) % 64
+                               ELSE 0 END
+                   ) / (tx * ty) AS BIGINT) AS mean_px,
+                   'jpeg-stdlib-v1' AS decoder
+            FROM t
         """,
         "events_hourly": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,

@@ -10,9 +10,13 @@ Decode tiers:
 - **WAV audio decodes for real** via the pure-stdlib RIFF/PCM codec in
   functions/wav.py — sample-rate/channels/duration/per-channel RMS
   become the leading feature dimensions.
-- other codecs (JPEG, video, compressed audio) need libraries absent
-  from this container, so they remain stubbed: a clearly-marked
-  NotImplementedError (real mode) or a deterministic fake (test mode).
+- **baseline JPEG decodes for real** via the pure-stdlib Huffman+IDCT
+  codec in functions/jpeg.py (SOF0, 1/3 components, subsampling,
+  restart markers) — same feature layout as PNG/GIF.
+- remaining codecs (progressive JPEG, video, compressed audio) need
+  libraries absent from this container, so they stay stubbed: a
+  clearly-marked NotImplementedError (real mode) or a deterministic
+  fake (test mode).
 
 Everything Spark-side is real and tested either way: the typed schema,
 Arrow batch shapes, mapInPandas signatures, and partitioning behavior,
@@ -54,11 +58,12 @@ def _real_decode(data: bytes, media_type: str, feature_dim: int) -> tuple[list[f
     """Real decode where a stdlib codec exists (PNG, WAV); raise
     otherwise.  Returns (feature, decoder_tag).
 
-    PNG feature layout: [width/1e4, height/1e4, channels/4,
+    PNG/GIF/JPEG feature layout: [width/1e4, height/1e4, channels/4,
     mean_c0..mean_cN, 0-padding] truncated/padded to feature_dim.
     WAV feature layout: [sample_rate/1e5, channels/4, duration_sec,
     rms_c0..rms_cN, 0-padding] truncated/padded to feature_dim."""
     from rdf_knowledge_extractor_spark.functions.gif import is_gif, gif_stats
+    from rdf_knowledge_extractor_spark.functions.jpeg import is_jpeg, jpeg_stats
     from rdf_knowledge_extractor_spark.functions.png import is_png, png_stats
     from rdf_knowledge_extractor_spark.functions.wav import is_wav, wav_stats
 
@@ -72,6 +77,11 @@ def _real_decode(data: bytes, media_type: str, feature_dim: int) -> tuple[list[f
         feat = [w / 1e4, h / 1e4, c / 4.0, *means]
         feat = feat[:feature_dim]
         return feat + [0.0] * (feature_dim - len(feat)), "gif-stdlib-v1"
+    if media_type == "image" and is_jpeg(data):
+        w, h, c, means = jpeg_stats(data)
+        feat = [w / 1e4, h / 1e4, c / 4.0, *means]
+        feat = feat[:feature_dim]
+        return feat + [0.0] * (feature_dim - len(feat)), "jpeg-stdlib-v1"
     if media_type == "audio" and is_wav(data):
         rate, c, dur, rms = wav_stats(data)
         feat = [rate / 1e5, c / 4.0, dur, *rms]
@@ -79,8 +89,9 @@ def _real_decode(data: bytes, media_type: str, feature_dim: int) -> tuple[list[f
         return feat + [0.0] * (feature_dim - len(feat)), "wav-stdlib-v1"
     raise NotImplementedError(
         f"no stdlib decoder for media_type={media_type!r} with this "
-        "signature — PNG (functions/png.py) and WAV (functions/wav.py) "
-        "decode natively; JPEG/video/compressed audio require "
+        "signature — PNG/GIF/baseline-JPEG (functions/png.py, gif.py, "
+        "jpeg.py) and WAV (functions/wav.py) decode natively; "
+        "progressive JPEG/video/compressed audio require "
         "PIL/pyav/soundfile (absent in this container); use "
         "deterministic_fake=True or a cluster image that bundles the "
         "codecs"
@@ -166,6 +177,47 @@ def documents_as_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         synth(F.col(id_col)).alias("media"),
         F.lit("audio").alias("media_type"),
         F.create_map(F.lit("origin"), F.lit("synth-wav")).alias("meta"),
+    )
+
+
+def documents_as_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG corpus keyed on doc_id: a grid of
+    tx = id%2+1 by ty = (id//2)%2+1 flat 8x8 grayscale tiles, tile k
+    (row-major) holding value 4·((id·7 + 13k) mod 64), encoded with an
+    all-16 quantization table.
+
+    Under that contract decode is BIT-EXACT (functions/jpeg.py module
+    docstring: DC = (v-128)/2 integral, AC all zero), so width, height,
+    channels, and the per-channel mean are closed-form INTEGERS in
+    doc_id — giving the real JPEG decode path a FULL DuckDB oracle
+    (multimodal_jpeg in __spark_entry__) even though DuckDB cannot
+    parse JPEG; the tile sum divides evenly because every tile value
+    is a multiple of 4 and the tile count is 1, 2, or 4."""
+    import numpy as np
+
+    from rdf_knowledge_extractor_spark.functions.jpeg import encode_jpeg
+
+    q16 = np.full(64, 16, dtype=np.int64)
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        out = []
+        for i in ids:
+            i = int(i)
+            tx, ty = i % 2 + 1, (i // 2) % 2 + 1
+            k = _np.arange(tx * ty).reshape(ty, tx)
+            tiles = (4 * ((i * 7 + 13 * k) % 64)).astype(_np.uint8)
+            img = _np.repeat(_np.repeat(tiles, 8, axis=0), 8, axis=1)
+            out.append(encode_jpeg(img, quant_override=q16))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        synth(F.col(id_col)).alias("media"),
+        F.lit("image").alias("media_type"),
+        F.create_map(F.lit("origin"), F.lit("synth-jpeg")).alias("meta"),
     )
 
 

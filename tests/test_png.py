@@ -165,8 +165,16 @@ def test_spark_real_decode_non_png_raises(spark):
         extract_media_features,
     )
 
+    # unknown signature → the no-decoder NotImplementedError branch
     media = spark.createDataFrame(
-        [(0, bytearray(b"\xff\xd8\xff jpeg-ish"), "image", {})], MEDIA_SCHEMA
+        [(0, bytearray(b"RIFF....AVI LIST"), "image", {})], MEDIA_SCHEMA
     )
     with pytest.raises(Exception, match="NotImplementedError|no stdlib decoder"):
         extract_media_features(media, deterministic_fake=False).collect()
+    # JPEG signature now routes to the REAL decoder (functions/jpeg.py),
+    # which fails loudly with a precise codec error on garbage bytes
+    media2 = spark.createDataFrame(
+        [(0, bytearray(b"\xff\xd8\xff jpeg-ish"), "image", {})], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="JpegError|truncated"):
+        extract_media_features(media2, deterministic_fake=False).collect()
