@@ -53,7 +53,9 @@ _TAG_FAST = re.compile(
     r"<(/?)([a-zA-Z][^\t\n\f />]*)"
     r"((?:[\t\n\f ]+[^\t\n\f /><=\"']+"  # attr name (no leading quote)
     r"(?:[\t\n\f ]*=[\t\n\f ]*(?:\"[^\"]*\"|'[^']*'|[^\t\n\f >\"'][^\t\n\f >]*))?"
-    r"|[\t\n\f /]+)*)"
+    # separators may include stray slashes, but a '/' directly before
+    # '>' is the self-closing flag (needed verbatim in foreign content)
+    r"|[\t\n\f ]+|/(?!>))*)"
     r"(/?)>"
 )
 _ATTR_ITER = re.compile(
@@ -241,6 +243,10 @@ class Tokenizer:
         self.mode = "data"  # data | rawtext | rcdata | script | plaintext
         self.raw_tag = ""  # appropriate end tag for rawtext/rcdata/script
         self._pending: list[tuple] = []
+        # set by the tree constructor: True while the adjusted current
+        # node is in a foreign (svg/math) namespace, where <![CDATA[
+        # opens a real CDATA section instead of a bogus comment
+        self.cdata_ok = lambda: False
 
     # tree constructor hook --------------------------------------------------
     def set_content_mode(self, mode: str, tag: str = "") -> None:
@@ -436,6 +442,14 @@ class Tokenizer:
             self.i = (gt + 1) if gt != -1 else self.n
             return ("doctype", _doctype_quirks(body), *_doctype_fields(body))
         if s.startswith("[CDATA[", at):
+            if self.cdata_ok():
+                # foreign content: literal text to ']]>' (no entity
+                # decoding; NULLs handled by the tree's foreign rules)
+                end = s.find("]]>", at + 7)
+                stop = end if end != -1 else self.n
+                self.i = (end + 3) if end != -1 else self.n
+                data = s[at + 7 : stop]
+                return ("text", data) if data else self.next_token()
             # HTML content: bogus comment spanning to the first '>'
             return self._bogus_comment(at)
         return self._bogus_comment(at)
