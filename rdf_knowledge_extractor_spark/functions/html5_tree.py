@@ -741,6 +741,19 @@ class TreeBuilder:
             return
         if k == "end":
             name = t[1]
+            if name in ("br", "p"):
+                # §13.2.6.5: </br> and </p> break out exactly like the
+                # breakout START tags, but the spec says to reprocess
+                # "according to the rules given in ... HTML content" —
+                # NOT through the dispatcher (which would route an end
+                # tag at an integration point back here and loop)
+                while self.stack and not (
+                    self.current.ns == "html"
+                    or self._is_math_tip(self.current)
+                    or self._is_html_ip(self.current)
+                ):
+                    self.stack.pop()
+                return self._process_html(t)
             i = len(self.stack) - 1
             node = self.stack[i]
             while True:

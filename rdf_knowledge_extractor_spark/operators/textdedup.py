@@ -142,9 +142,12 @@ def _bucket_candidate_pairs(
     """
     if oversized not in ("selfjoin", "drop"):
         raise ValueError(f"oversized must be 'selfjoin' or 'drop', got {oversized!r}")
+    # persisted: the aggregate feeds up to three plan branches (report,
+    # small, and the selfjoin arm twice) — the module's cache contract
+    # for intermediates read on multiple join branches
     buckets = bucketed.groupBy(*key_cols).agg(
         F.array_sort(F.collect_list(member_col)).alias("_ids")
-    )
+    ).persist()
     report = buckets.filter(F.size("_ids") > max_bucket_size).select(
         *key_cols, F.size("_ids").alias("n")
     )

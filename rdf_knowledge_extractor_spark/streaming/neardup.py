@@ -233,6 +233,13 @@ def start_neardup_filter_sink(
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # Crash recovery BEFORE any state read: a compact_state that
+        # died between removing old batch dirs and renaming its
+        # _SUCCESS-marked tmp would otherwise hide the compacted rows
+        # from this batch's history joins (Spark skips dot-prefixed
+        # dirs), wrongly admitting near-dups of every doc in them.
+        _finish_pending_compaction(band_dir)
+        _finish_pending_compaction(shingle_dir)
         batch_df = batch_df.persist()
         sh = _with_hashed_shingles(batch_df, id_col, text_col, k).persist()
         bands_of = _minhash_band_udf(num_perm, bands)

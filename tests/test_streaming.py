@@ -409,3 +409,69 @@ def test_neardup_compaction_crash_recovery(spark, tmp_path):
     assert (band_dir / "batch=4" / "part-0.parquet").exists()
     assert not half.exists()
     assert set(_batch_dirs(str(band_dir))) == {2, 4}
+
+
+def test_neardup_sink_recovers_pending_compaction_before_state_read(
+    spark, tmp_path
+):
+    """Round-5 review finding: a compact_state that died after removing
+    the old batch dirs but before renaming its _SUCCESS-marked tmp left
+    the history invisible to the NEXT micro-batch (Spark skips
+    dot-prefixed dirs), wrongly admitting near-dups.  The sink now runs
+    _finish_pending_compaction on both state tables before its state
+    reads, so the compacted history is seen again."""
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from rdf_knowledge_extractor_spark.streaming.neardup import (
+        start_neardup_filter_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat naps "
+        "in the warm afternoon sun near the old garden wall by the gate"
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(str(in_dir))
+        q = start_neardup_filter_sink(
+            stream, out_dir, state_dir, ckpt, threshold=0.7
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame([(0, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    run_stream()
+
+    # simulate the crash window: every committed batch dir of BOTH
+    # tables has been compacted into a _SUCCESS-marked tmp, olds
+    # removed, rename never happened
+    for table in ("bands", "shingles"):
+        tdir = os.path.join(state_dir, table)
+        for name in os.listdir(tdir):
+            if not name.startswith("batch="):
+                continue
+            src = os.path.join(tdir, name)
+            tmp = os.path.join(tdir, f".compact-tmp-deadbeef-{name}")
+            shutil.copytree(src, tmp)
+            open(os.path.join(tmp, "_SUCCESS"), "w").close()
+            shutil.rmtree(src)
+
+    # a near-dup of doc 0 must still be REJECTED
+    spark.createDataFrame(
+        [(10, base + " trailing near dup marker")], schema
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_stream()
+    got = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0}
