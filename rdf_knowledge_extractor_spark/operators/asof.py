@@ -86,19 +86,7 @@ def asof_join(
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
 
-    # The right row travels as ONE struct (ts first, then payload) so the
-    # matched row is attached atomically — NULLs in the matched row's
-    # payload stay NULL (DuckDB/pandas ASOF semantics).
-    l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(
-        *keys,
-        F.col(ts_col),
-        F.lit(0).alias("_side"),
-        F.struct(
-            F.col(ts_col).alias("_r_ts"), *[F.col(c) for c in r_payload]
-        ).alias("_r"),
-    )
-    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    merged = _merged_frame(left, right, keys, ts_col, r_payload)
 
     if time_slices == "auto":
         time_slices = _probe_hot_keys(
@@ -132,6 +120,40 @@ def asof_join(
         F.col("_r").getField("_r_ts").alias("_r_ts"),
         *[F.col("_r").getField(c).alias(c) for c in r_payload],
     )
+
+
+def _merged_frame(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    r_payload: list[str],
+) -> DataFrame:
+    """Side-tagged union both the fill-forward window and the hot-key
+    probe scan.  The right row travels as ONE struct (ts first, then
+    payload) so the matched row is attached atomically — NULLs in the
+    matched row's payload stay NULL (DuckDB/pandas ASOF semantics)."""
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts_col).alias("_r_ts"), *[F.col(c) for c in r_payload]
+        ).alias("_r"),
+    )
+    return l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+
+def _probe_frame(
+    left: DataFrame, right: DataFrame, keys: list[str], ts_col: str
+) -> DataFrame:
+    """The hot-key probe's input: key-struct column over the tagged
+    union.  Kept as its own function so the plan test can assert the
+    probe scan prunes to ONLY the key columns on columnar sources."""
+    r_payload = [c for c in right.columns if c not in keys and c != ts_col]
+    merged = _merged_frame(left, right, keys, ts_col, r_payload)
+    return merged.select(F.struct(*[F.col(k) for k in keys]).alias("_k"))
 
 
 def _probe_plan(

@@ -263,3 +263,40 @@ def test_asof_sampled_probe_triggers_slicing_and_stays_exact(spark):
         )
     )
     assert sorted(map(tuple, auto.collect())) == base
+
+
+def test_asof_probe_scan_prunes_to_keys(spark, tmp_path):
+    """The auto-probe's extra pass is ~free on columnar sources: its
+    scan must read ONLY the key column from both union branches
+    (ReadSchema pruned), so at 100 TB the probe reads ~1% of one
+    column, not the full input.  (A row-serialized .persist() upstream
+    cannot prune — that artifact is documented in BENCH/BASELINE.md.)"""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from rdf_knowledge_extractor_spark.operators.asof import _probe_frame
+
+    spark.range(100).select(
+        F.col("id").alias("user"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        F.sha1(F.col("id").cast("string")).alias("left_payload"),
+    ).write.parquet(str(tmp_path / "left"))
+    spark.range(100).select(
+        F.col("id").alias("user"),
+        F.timestamp_seconds(F.lit(1699999999) + F.col("id")).alias("ts"),
+        F.sha1(F.col("id").cast("string")).alias("click_blob"),
+    ).write.parquet(str(tmp_path / "right"))
+    left = spark.read.parquet(str(tmp_path / "left"))
+    right = spark.read.parquet(str(tmp_path / "right"))
+
+    probe = _probe_frame(left, right, ["user"], "ts")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.groupBy("_k").count().explain("formatted")
+    schemas = re.findall(r"ReadSchema: (\S+)", buf.getvalue())
+    assert len(schemas) == 2  # both union branches scanned
+    for s in schemas:
+        assert s == "struct<user:bigint>", s
