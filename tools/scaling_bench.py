@@ -179,10 +179,19 @@ docs2 = docs.select(
 )
 rollup_report(docs2).count()
 stage_times["s7_rollup"] = round(time.monotonic() - t, 2)
+docs.unpersist()
 
+# Event tables come from COLUMNAR storage (the tmpfs parquet input),
+# not the full-text row cache: in production events live in their own
+# parquet/Iceberg table, and the as-of hot-key probe's extra pass then
+# prunes to the key column (ReadSchema asserted in
+# tests/test_asof.py::test_asof_probe_scan_prunes_to_keys).  Deriving
+# them from `docs` (DISK_ONLY, text column) forced every scan —
+# including the probe — to deserialize full rows.
 t = time.monotonic()
-base = docs.select(
-    "doc_id", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(5000)).alias("user")
+base = pages.select(
+    F.col("doc_seq").alias("doc_id"),
+    F.pmod(F.xxhash64(F.col("doc_seq")), F.lit(5000)).alias("user"),
 )
 clicks = base.select(
     "user",
@@ -200,7 +209,6 @@ purchases = base.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
 )
 asof_join(purchases, clicks, on="user", ts_col="ts").count()
 stage_times["s8_asof"] = round(time.monotonic() - t, 2)
-docs.unpersist()
 
 elapsed = time.monotonic() - t0
 _tot1, _steal1 = _cpu_stat()
