@@ -23,6 +23,7 @@ from rdf_knowledge_extractor_spark.sources.doc_triples import (
     DERIVE_TRIPLES_SQL,
     KNOWN_PREDICATES,
     NS,
+    RDF_TYPE,
     derive_triples,
 )
 
@@ -309,6 +310,66 @@ def q_kg_sparql_bind_values(spark, sf):
       ?d kg:hasLang ?lang .
       VALUES ?lang {{ "en" "de" }}
       BIND(CONCAT(?lang, ":doc") AS ?label)
+    }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_sparql_ask(spark, sf):
+    """SPARQL ASK (round-5 extension): one boolean row; lowers to
+    limit(1) + count>0 so the scan short-circuits at the first
+    solution (query/sparql.py)."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    ASK {{ ?d kg:hasLang "en" }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_sparql_group_concat(spark, sf):
+    """SPARQL GROUP_CONCAT + SAMPLE (round-5 extension): per-source
+    sorted lang concatenation — one Catalyst hash aggregate
+    (collect_list → array_sort → array_join, all JVM-side)."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?s (GROUP_CONCAT(?l; SEPARATOR="|") AS ?langs) (SAMPLE(?d) AS ?one)
+    WHERE {{ ?d kg:belongsTo ?s . ?d kg:hasLang ?l }}
+    GROUP BY ?s
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_sparql_pneg(spark, sf):
+    """SPARQL negated property set (round-5 extension): !(iri|…)
+    compiles to a NOT IN predicate pushed into the triples scan —
+    never a join."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?s ?o WHERE {{
+      ?s !(kg:hasLang|kg:hasSource|kg:belongsTo|<{RDF_TYPE}>) ?o
+    }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
+def q_kg_sparql_subquery(spark, sf):
+    """SPARQL SubSelect (round-5 extension): inner aggregate query
+    evaluated independently, result joined into the outer group as a
+    solution multiset — one hash aggregate + one equi-join."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    q = f"""
+    PREFIX kg: <{NS}>
+    SELECT ?s ?n WHERE {{
+      ?s kg:hasName ?n .
+      {{ SELECT ?s (COUNT(*) AS ?c) WHERE {{ ?d kg:belongsTo ?s }}
+         GROUP BY ?s HAVING (?c >= 2) }}
     }}
     """
     return execute_sparql(_graph(spark, sf), q)
@@ -829,6 +890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_path_seeded": q_kg_sparql_path_seeded,
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_bind_values": q_kg_sparql_bind_values,
+        "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_group_concat": q_kg_sparql_group_concat,
+        "kg_sparql_pneg": q_kg_sparql_pneg,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_traversal_2hop": q_kg_traversal_2hop,
         "kg_validation_filter": q_kg_validation_filter,
         "kg_validation_issues": q_kg_validation_issues,
@@ -1037,6 +1102,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject AS d, object AS lang, object || ':doc' AS label
             FROM g
             WHERE predicate = '{NS}hasLang' AND object IN ('en', 'de')
+        """,
+        "kg_sparql_ask": f"""
+            SELECT count(*) > 0 AS ask
+            FROM ({dedup})
+            WHERE predicate = '{NS}hasLang' AND object = 'en'
+        """,
+        "kg_sparql_group_concat": f"""
+            WITH g AS ({dedup}),
+            j AS (
+              SELECT a.object AS s, b.object AS l, b.subject AS d
+              FROM g a JOIN g b ON a.subject = b.subject
+              WHERE a.predicate = '{NS}belongsTo'
+                AND b.predicate = '{NS}hasLang'
+            )
+            SELECT s, string_agg(l, '|' ORDER BY l) AS langs, min(d) AS one
+            FROM j GROUP BY s
+        """,
+        "kg_sparql_subquery": f"""
+            WITH g AS ({dedup}),
+            c AS (
+              SELECT object AS s, count(*) AS c FROM g
+              WHERE predicate = '{NS}belongsTo'
+              GROUP BY object HAVING count(*) >= 2
+            )
+            SELECT c.s AS s, g2.object AS n
+            FROM c JOIN g g2
+              ON g2.subject = c.s AND g2.predicate = '{NS}hasName'
+        """,
+        "kg_sparql_pneg": f"""
+            SELECT subject AS s, object AS o
+            FROM ({dedup})
+            WHERE predicate NOT IN (
+              '{NS}hasLang', '{NS}hasSource', '{NS}belongsTo', '{RDF_TYPE}'
+            )
         """,
         "kg_sparql_construct": f"""
             SELECT DISTINCT subject,

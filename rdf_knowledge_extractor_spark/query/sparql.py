@@ -12,15 +12,21 @@ Two engines:
    e.g. ref:templates/sales_target_companies.yaml:12-24 with OPTIONAL
    / ORDER BY DESC / LIMIT).  Supported subset: PREFIX,
    SELECT [DISTINCT] ?v…|*| (AGG(?v) AS ?a), CONSTRUCT { … } WHERE,
+   ASK [WHERE] { … } (→ one boolean row, limit-1 short-circuit),
    basic graph patterns with `;` predicate lists and `a` = rdf:type,
    OPTIONAL { … }, { … } UNION { … }, FILTER(…) with =/!=/</<=/>/>=
    (numeric-coercing), ||/&&/!, CONTAINS/STRSTARTS/STRENDS/REGEX/BOUND,
    FILTER (NOT) EXISTS { … } (→ left-semi/anti joins),
-   COUNT/SUM/MIN/MAX/AVG with GROUP BY + HAVING,
-   ORDER BY (ASC|DESC)(?v), LIMIT n, OFFSET n,
-   property-path modifiers +/*/? (transitive closure via semi-naive
-   frontier loop), BIND(expr AS ?v), VALUES ?v { … } / (?a ?b) { … }
+   COUNT/SUM/MIN/MAX/AVG/GROUP_CONCAT(…; SEPARATOR="…")/SAMPLE
+   with GROUP BY + HAVING (GROUP_CONCAT sorts values for determinism;
+   SAMPLE is min()), ORDER BY (ASC|DESC)(?v), LIMIT n, OFFSET n,
+   property paths: modifiers +/*/? (transitive closure via semi-naive
+   frontier loop), sequence `/`, alternative `|`, inverse `^`, and
+   negated property sets !iri / !(iri|…) (forward members only),
+   BIND(expr AS ?v), VALUES ?v { … } / (?a ?b) { … }
    with UNDEF, MINUS { … } (shared-domain anti-join),
+   SubSelect { SELECT … } (evaluated independently, joined as a
+   solution multiset; only projected vars visible outside),
    CONCAT/UCASE/LCASE/STRLEN.  UNION/OPTIONAL solution
    joins use SPARQL compatible-mapping semantics (join-over-union
    distribution; isnull-or-equal residual conditions where maybe-null
@@ -91,14 +97,16 @@ class _Group:
     binds: list[tuple[str, object]] = field(default_factory=list)  # BIND(expr AS ?v)
     values_: list[tuple[list[str], list[tuple]]] = field(default_factory=list)  # VALUES
     minus: list["_Group"] = field(default_factory=list)  # MINUS { … }
+    subselects: list[str] = field(default_factory=list)  # { SELECT … } texts
 
 
 @dataclass
 class _Agg:
-    func: str        # count | sum | min | max | avg
+    func: str        # count | sum | min | max | avg | group_concat | sample
     var: str | None  # None = '*'
     distinct: bool
     alias: str
+    sep: str = " "   # GROUP_CONCAT(…; SEPARATOR="…") — ignored otherwise
 
 
 _TOKEN_RE = re.compile(
@@ -163,18 +171,19 @@ class SparqlEngine:
             prefixes[pname.rstrip(":").split(":")[0]] = uri[1:-1]
 
         form = take()
-        if form is None or form.upper() not in ("SELECT", "CONSTRUCT"):
-            raise SparqlError(f"expected SELECT or CONSTRUCT, got {form!r}")
+        if form is None or form.upper() not in ("SELECT", "CONSTRUCT", "ASK"):
+            raise SparqlError(f"expected SELECT, CONSTRUCT or ASK, got {form!r}")
         is_construct = form.upper() == "CONSTRUCT"
+        is_ask = form.upper() == "ASK"
         proj: list[str] = []
         aggs: list[_Agg] = []
         star = False
         distinct = False
-        _AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+        _AGG_FUNCS = {"count", "sum", "min", "max", "avg", "group_concat", "sample"}
         if peek() and peek().upper() == "DISTINCT":
             take()
             distinct = True
-        while not is_construct and peek() and peek().upper() != "WHERE":
+        while not is_construct and not is_ask and peek() and peek().upper() != "WHERE":
             t = take()
             if t == "*":
                 star = True
@@ -199,16 +208,33 @@ class SparqlEngine:
                     var = arg[1:]
                 else:
                     raise SparqlError(f"bad aggregate argument {arg!r}")
+                sep = " "
+                if fn.lower() == "group_concat" and peek() == ";":
+                    take()
+                    kw = take()
+                    if kw is None or kw.upper() != "SEPARATOR":
+                        raise SparqlError(
+                            'GROUP_CONCAT options: only SEPARATOR="…" is supported'
+                        )
+                    expect("=")
+                    lit = take()
+                    if not (lit and lit.startswith('"')):
+                        raise SparqlError("SEPARATOR needs a string literal")
+                    sep = lit[1:-1].replace('\\"', '"')
                 expect(")")
                 expect("AS")
                 alias = take()
                 if not (alias and alias.startswith("?")):
                     raise SparqlError("aggregate needs AS ?alias")
                 expect(")")
-                aggs.append(_Agg(fn.lower(), var, agg_distinct, alias[1:]))
+                aggs.append(_Agg(fn.lower(), var, agg_distinct, alias[1:], sep))
             else:
                 raise SparqlError(f"bad projection term {t!r}")
-        if not is_construct:
+        if is_ask:
+            # SPARQL grammar: ASK takes an optional WHERE keyword
+            if peek() and peek().upper() == "WHERE":
+                take()
+        elif not is_construct:
             expect("WHERE")
 
         def resolve(term: str) -> str:
@@ -237,6 +263,8 @@ class SparqlEngine:
         _FUNCS = {
             "contains", "strstarts", "strends", "regex", "bound", "lang",
             "str", "concat", "ucase", "lcase", "strlen",
+            "substr", "replace", "strbefore", "strafter",
+            "abs", "ceil", "floor", "round", "if", "coalesce",
         }
 
         def parse_filter_expr():
@@ -302,6 +330,26 @@ class SparqlEngine:
             Returns a plain resolved term for the trivial case."""
 
             def p_primary():
+                if peek() == "!":
+                    # Negated property set: !iri or !(iri1|iri2|…) —
+                    # forward predicates only (no ^iri members; SPARQL
+                    # 1.1 §9.1 PathNegatedPropertySet subset).
+                    take()
+                    if peek() == "(":
+                        take()
+                        iris = [resolve(take())]
+                        while peek() == "|":
+                            take()
+                            iris.append(resolve(take()))
+                        expect(")")
+                    else:
+                        iris = [resolve(take())]
+                    for iri in iris:
+                        if iri.startswith("?") or iri.startswith("\0LIT"):
+                            raise SparqlError(
+                                "negated property set members must be IRIs"
+                            )
+                    return ("pneg", tuple(iris))
                 if peek() == "(":
                     take()
                     node = p_alt()
@@ -355,6 +403,38 @@ class SparqlEngine:
                 if peek().upper() == "MINUS":
                     take()
                     g.minus.append(parse_group())
+                    if peek() == ".":
+                        take()
+                    continue
+                if (
+                    peek() == "{"
+                    and pos + 1 < len(toks)
+                    and toks[pos + 1].upper()
+                    in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE")
+                ):
+                    # SubSelect (SPARQL 1.1 §12): { SELECT … } — slice
+                    # the balanced-brace token run and store it as
+                    # re-parseable text (tokens are whitespace-lossless);
+                    # compilation re-enters the full query pipeline and
+                    # joins the result as a solution multiset.
+                    take()
+                    depth = 1
+                    sub_toks: list[str] = []
+                    while True:
+                        t2 = take()
+                        if t2 is None:
+                            raise SparqlError("unterminated subquery")
+                        if t2 == "{":
+                            depth += 1
+                        elif t2 == "}":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        sub_toks.append(t2)
+                    decls = " ".join(
+                        f"PREFIX {px}: <{uri}>" for px, uri in prefixes.items()
+                    )
+                    g.subselects.append((decls + " " + " ".join(sub_toks)).strip())
                     if peek() == ".":
                         take()
                     continue
@@ -530,6 +610,7 @@ class SparqlEngine:
             "having": having,
             "offset": offset,
             "construct": template,
+            "ask": is_ask,
         }
 
     # -- compilation ---------------------------------------------------
@@ -545,6 +626,12 @@ class SparqlEngine:
                 F.col("subject").alias("_src"), F.col("object").alias("_dst")
             )
         kind = node[0]
+        if kind == "pneg":
+            # !(iri|…): any triple whose predicate is NOT in the set —
+            # a NOT IN filter pushed into the scan, never a join.
+            return self.graph.filter(
+                ~F.col("predicate").isin(*node[1])
+            ).select(F.col("subject").alias("_src"), F.col("object").alias("_dst"))
         if kind == "pinv":
             d = self._path_df(node[1])
             return d.select(
@@ -821,7 +908,10 @@ class SparqlEngine:
         return u, all_cols - bound_everywhere
 
     def _compile_group(self, g: _Group) -> tuple[DataFrame, set[str]]:
-        if not g.patterns and not g.optionals and not g.unions and not g.values_:
+        if (
+            not g.patterns and not g.optionals and not g.unions
+            and not g.values_ and not g.subselects
+        ):
             raise SparqlError("empty group")
         df: DataFrame | None = None
         maybe: set[str] = set()
@@ -830,6 +920,18 @@ class SparqlEngine:
             pdf, _ = self._compile_pattern(p)
             df, maybe = (pdf, set()) if df is None else self._compat_join(
                 df, maybe, pdf, set()
+            )
+        for sub_text in g.subselects:
+            # SubSelect: evaluate the inner query independently (its
+            # own projection/aggregation/modifiers), then join the
+            # result into the group as a solution multiset.  Only
+            # projected vars are visible outside (SPARQL 1.1 §12).
+            sparsed = self.parse(sub_text)
+            if sparsed[5].get("ask") or sparsed[5]["construct"]:
+                raise SparqlError("subqueries must be SELECT")
+            sdf, smaybe = self._execute_parsed(*sparsed)
+            df, maybe = (sdf, smaybe) if df is None else self._compat_join(
+                df, maybe, sdf, smaybe
             )
         for chain in g.unions:
             # { g1 } UNION { g2 } …  Joining the rest of the group with
@@ -1011,6 +1113,36 @@ class SparqlEngine:
                 return F.lower(cols[0])
             if name == "strlen":
                 return F.length(cols[0])
+            if name == "substr":
+                # SPARQL SUBSTR is 1-based like Spark's substr
+                ln = cols[2] if len(cols) > 2 else F.lit(2**31 - 1)
+                return cols[0].substr(cols[1].cast("int"), ln.cast("int"))
+            if name == "replace":
+                # SPARQL REPLACE is regex-based (xpath fn:replace)
+                if args[1][0] != "lit" or args[2][0] != "lit":
+                    raise SparqlError("REPLACE pattern/replacement must be literals")
+                return F.regexp_replace(cols[0], args[1][1], args[2][1])
+            if name in ("strbefore", "strafter"):
+                if args[1][0] != "lit":
+                    raise SparqlError(f"{name.upper()} separator must be a literal")
+                sep = args[1][1]
+                # fn:substring-before/-after: "" when the separator is absent
+                if name == "strbefore":
+                    hit = F.substring_index(cols[0], sep, 1)
+                else:
+                    pos = F.instr(cols[0], sep)
+                    hit = F.substring(
+                        cols[0], pos + F.lit(len(sep)), F.lit(2**31 - 1)
+                    )
+                return F.when(
+                    F.instr(cols[0], sep) > 0, hit
+                ).otherwise(F.lit(""))
+            if name in ("abs", "ceil", "floor", "round"):
+                return getattr(F, name)(cols[0].try_cast("double"))
+            if name == "if":
+                return F.when(cols[0], cols[1]).otherwise(cols[2])
+            if name == "coalesce":
+                return F.coalesce(*cols)
             raise SparqlError(f"unsupported FILTER function {name}")
         raise SparqlError(f"bad FILTER node {ast!r}")
 
@@ -1057,6 +1189,17 @@ class SparqlEngine:
         if a.var is None:  # COUNT(*)
             return F.count(F.lit(1)).alias(a.alias)
         col = F.col(a.var)
+        if a.func == "group_concat":
+            # SPARQL leaves GROUP_CONCAT order implementation-defined;
+            # sort the collected values so the result is deterministic
+            # across partitionings (≡ SQL string_agg(… ORDER BY …)).
+            vals = F.collect_set(col) if a.distinct else F.collect_list(col)
+            return F.array_join(F.array_sort(vals), a.sep).alias(a.alias)
+        if a.func == "sample":
+            # SAMPLE(?v) is any value from the group — min() is a valid
+            # choice and the only deterministic one under Spark's
+            # partition-order nondeterminism.
+            return F.min(col).alias(a.alias)
         if a.func in ("sum", "avg"):  # numeric aggregate over string storage
             col = col.try_cast("double")
         if a.func == "count":
@@ -1069,10 +1212,26 @@ class SparqlEngine:
         return agg.alias(a.alias)
 
     def execute(self, query: str) -> DataFrame:
-        proj, star, group, order, limit, extras = self.parse(query)
-        df, _maybe = self._compile_group(group)
+        return self._execute_parsed(*self.parse(query))[0]
+
+    def _execute_parsed(
+        self, proj, star, group, order, limit, extras
+    ) -> tuple[DataFrame, set[str]]:
+        """Compile a parsed query to (DataFrame, maybe-null var set).
+
+        The maybe set is threaded out so a SubSelect's result can join
+        its enclosing group with correct compatible-mapping semantics
+        (isnull-or-equal residuals only where a var can be unbound)."""
+        df, maybe = self._compile_group(group)
+        if extras.get("ask"):
+            # ASK → one boolean row.  limit(1) short-circuits: Spark's
+            # CollectLimit stops the scan at the first solution, so at
+            # 100 TB an ASK over a selective pattern touches one split.
+            return df.limit(1).agg(
+                (F.count(F.lit(1)) > F.lit(0)).alias("ask")
+            ), set()
         if extras["construct"]:
-            return self._execute_construct(df, extras["construct"], limit)
+            return self._execute_construct(df, extras["construct"], limit), set()
         aggs, group_by = extras["aggs"], extras["group_by"]
         if group_by and not aggs:
             # GROUP BY with no aggregate in the projection: solution
@@ -1096,6 +1255,7 @@ class SparqlEngine:
                     self._filter_to_column(extras["having"], set(grouped.columns))
                 )
             df = grouped.select(*(proj or group_by))
+            maybe &= set(df.columns)
         elif aggs or group_by:
             keys = group_by or proj  # bare projected vars double as keys
             for v in proj:
@@ -1111,6 +1271,12 @@ class SparqlEngine:
                     self._filter_to_column(extras["having"], set(agged.columns))
                 )
             df = agged.select(*(proj + [a.alias for a in aggs]))
+            # COUNT/GROUP_CONCAT never yield NULL; the numeric/string
+            # aggregates can (try_cast of non-numeric storage, all-NULL
+            # groups) — conservatively maybe for subquery join purposes
+            maybe = (maybe & set(df.columns)) | {
+                a.alias for a in aggs if a.func not in ("count", "group_concat")
+            }
         else:
             if star:
                 df = df.select(*sorted(df.columns))
@@ -1119,6 +1285,7 @@ class SparqlEngine:
                 for v in missing:  # unbound projection vars → NULL (SPARQL)
                     df = df.withColumn(v, F.lit(None).cast("string"))
                 df = df.select(*proj)
+                maybe = (maybe | set(missing)) & set(proj)
         # SPARQL clause application order: … → DISTINCT → ORDER → OFFSET/LIMIT
         if extras["distinct"]:
             df = df.distinct()
@@ -1130,7 +1297,7 @@ class SparqlEngine:
             df = df.offset(extras["offset"])
         if limit is not None:
             df = df.limit(limit)
-        return df
+        return df, maybe & set(df.columns)
 
 
 def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
@@ -1144,7 +1311,7 @@ def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
     propagate its parse error instead of silently degrading to a full
     graph dump, which would feed templates wrong data as a "success".
     """
-    if not query.strip().lower().startswith(("select", "prefix", "construct")):
+    if not query.strip().lower().startswith(("select", "prefix", "construct", "ask")):
         raise SparqlError(
             "Only SELECT queries are supported in this simplified implementation"
         )
@@ -1152,7 +1319,12 @@ def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
         return SparqlEngine(graph).execute(query)
     except SparqlError:
         targets_real_engine = bool(
-            re.search(r"(?im)^\s*PREFIX\s", query) or re.search(r"<\s*https?:", query)
+            re.search(r"(?im)^\s*PREFIX\s", query)
+            or re.search(r"<\s*https?:", query)
+            # a nested query form ({ SELECT … } subquery / misplaced
+            # ASK/CONSTRUCT) is SPARQL-1.1 syntax the reference's loose
+            # dispatcher never sees — never degrade it to a graph dump
+            or re.search(r"\{\s*(SELECT|ASK|CONSTRUCT|DESCRIBE)\b", query, re.I)
         )
         if targets_real_engine:
             raise

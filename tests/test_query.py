@@ -868,3 +868,162 @@ def test_sparql_path_both_endpoints_bound(two_chain_graph):
     q_miss = f"""PREFIX kg: <{NS}>
     SELECT ?z WHERE {{ <urn:a> kg:next+ <urn:j> . BIND(1 AS ?z) }}"""
     assert execute_sparql(two_chain_graph, q_miss).count() == 0
+
+
+# -- round-5 additions: ASK, GROUP_CONCAT/SAMPLE, negated property sets --
+
+def test_sparql_ask_true_and_false(graph):
+    q_true = f"""PREFIX kg: <{NS}>
+    ASK {{ ?e kg:hasRole "CEO" }}"""
+    out = execute_sparql(graph, q_true)
+    assert out.columns == ["ask"]
+    assert out.collect()[0].ask is True
+    q_false = f"""PREFIX kg: <{NS}>
+    ASK WHERE {{ ?e kg:hasRole "CTO" }}"""
+    assert execute_sparql(graph, q_false).collect()[0].ask is False
+
+
+def test_sparql_ask_short_circuits_with_limit(graph):
+    """ASK lowers to limit(1): the plan must carry a CollectLimit so a
+    selective ASK over 100 TB stops at the first matching solution."""
+    import contextlib
+    import io
+
+    q = f"""PREFIX kg: <{NS}>
+    ASK {{ ?e kg:hasName ?n }}"""
+    out = execute_sparql(graph, q)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert "Limit" in buf.getvalue()
+
+
+def test_sparql_group_concat(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?t (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names)
+    WHERE {{ ?e a ?t . ?e kg:hasName ?n }} GROUP BY ?t"""
+    rows = execute_sparql(graph, q).collect()
+    assert len(rows) == 1
+    assert rows[0].t == NS + "Organization"
+    assert rows[0].names == "Acme Corp|Beta Inc"  # sorted, deterministic
+
+
+def test_sparql_group_concat_default_separator_and_distinct(graph):
+    q = """SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts) WHERE { ?e a ?t }"""
+    rows = execute_sparql(graph, q).collect()
+    assert rows[0].ts == NS + "Organization"  # deduped, single value
+
+
+def test_sparql_sample(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?t (SAMPLE(?n) AS ?one) WHERE {{ ?e a ?t . ?e kg:hasName ?n }}
+    GROUP BY ?t"""
+    rows = execute_sparql(graph, q).collect()
+    assert rows[0].one == "Acme Corp"  # min() — deterministic sample
+
+
+def test_sparql_negated_property_set(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?o WHERE {{ <{R}Beta> !(kg:hasName|<{RDF_TYPE}>) ?o }}"""
+    got = sorted(r.o for r in execute_sparql(graph, q).collect())
+    assert got == ["$10M", "75"]
+
+
+def test_sparql_negated_single_iri(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?o WHERE {{ <{R}Jane> !kg:worksFor ?o }}"""
+    assert [r.o for r in execute_sparql(graph, q).collect()] == ["CEO"]
+
+
+def test_sparql_negated_set_rejects_vars(graph):
+    from rdf_knowledge_extractor_spark.query.sparql import SparqlEngine
+
+    with pytest.raises(SparqlError):
+        SparqlEngine(graph).execute("SELECT ?o WHERE { ?s !?p ?o }")
+
+
+def test_sparql_subquery_aggregate_join(graph):
+    """{ SELECT … } evaluates independently and joins as a solution
+    multiset: entities with >= 3 outgoing triples, names fetched by
+    the outer pattern."""
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?e ?n WHERE {{
+      ?e kg:hasName ?n .
+      {{ SELECT ?e (COUNT(*) AS ?c) WHERE {{ ?e ?p ?o }}
+         GROUP BY ?e HAVING (?c >= 3) }}
+    }}"""
+    rows = {(r.e, r.n) for r in execute_sparql(graph, q).collect()}
+    assert rows == {(R + "Acme", "Acme Corp"), (R + "Beta", "Beta Inc")}
+
+
+def test_sparql_subquery_order_limit_scoped(graph):
+    """Inner ORDER BY/LIMIT apply before the outer join (SPARQL 1.1
+    §12): top-scored entity only."""
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?n WHERE {{
+      ?e kg:hasName ?n .
+      {{ SELECT ?e WHERE {{ ?e kg:hasPriorityScore ?s }}
+         ORDER BY DESC(?s) LIMIT 1 }}
+    }}"""
+    assert [r.n for r in execute_sparql(graph, q).collect()] == ["Acme Corp"]
+
+
+def test_sparql_subquery_projection_hides_inner_vars(graph):
+    """Vars not projected by the subquery are invisible outside — ?s
+    must not leak into the outer solution."""
+    q = f"""PREFIX kg: <{NS}>
+    SELECT * WHERE {{
+      {{ SELECT ?e WHERE {{ ?e kg:hasPriorityScore ?s }} }}
+    }}"""
+    out = execute_sparql(graph, q)
+    assert out.columns == ["e"]
+    assert out.count() == 2
+
+
+def test_sparql_subquery_rejects_non_select(graph):
+    with pytest.raises(SparqlError):
+        execute_sparql(
+            graph, "SELECT ?x WHERE { { ASK { ?x ?p ?o } } }"
+        )
+
+
+def test_sparql_string_builtins(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?n ?pre ?sub WHERE {{
+      ?e kg:hasName ?n .
+      BIND(STRBEFORE(?n, " ") AS ?pre)
+      BIND(SUBSTR(?n, 1, 4) AS ?sub)
+      FILTER(STRAFTER(?n, " ") = "Corp")
+    }}"""
+    rows = [(r.n, r.pre, r.sub) for r in execute_sparql(graph, q).collect()]
+    assert rows == [("Acme Corp", "Acme", "Acme")]
+
+
+def test_sparql_strbefore_absent_separator_is_empty(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?r ?b WHERE {{ ?e kg:hasRole ?r . BIND(STRBEFORE(?r, "|") AS ?b) }}"""
+    rows = execute_sparql(graph, q).collect()
+    assert [(r.r, r.b) for r in rows] == [("CEO", "")]
+
+
+def test_sparql_if_and_numeric_builtins(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?e ?tier ?r WHERE {{
+      ?e kg:hasPriorityScore ?s .
+      BIND(IF(?s >= 80, "high", "low") AS ?tier)
+      BIND(ROUND(?s) AS ?r)
+    }}"""
+    rows = {(r.e, r.tier, r.r) for r in execute_sparql(graph, q).collect()}
+    assert rows == {(R + "Acme", "high", 90.0), (R + "Beta", "low", 75.0)}
+
+
+def test_sparql_replace_and_coalesce(graph):
+    q = f"""PREFIX kg: <{NS}>
+    SELECT ?e ?rev WHERE {{
+      ?e a <{NS}Organization> .
+      OPTIONAL {{ ?e kg:hasRevenue ?v }}
+      BIND(COALESCE(?v, "unknown") AS ?rev0)
+      BIND(REPLACE(?rev0, "[$]", "USD ") AS ?rev)
+    }}"""
+    rows = {(r.e, r.rev) for r in execute_sparql(graph, q).collect()}
+    assert rows == {(R + "Acme", "unknown"), (R + "Beta", "USD 10M")}

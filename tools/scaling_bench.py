@@ -351,6 +351,13 @@ Best-leg efficiency = (R_{high} / R_{low}) / ({high}/{low}) =
   verified separately in tests (oversized-LSH-bucket drop + AQE)
 - html→text and extraction fused in ONE mapInPandas (html crosses the
   Arrow boundary once; only triple rows cross back)
+- s8's event tables derive from the COLUMNAR parquet input, so every
+  scan — including the as-of hot-key probe's default-on extra pass —
+  prunes to the key column (asserted by
+  tests/test_asof.py::test_asof_probe_scan_prunes_to_keys).  Round-5
+  fix: they previously derived from the DISK_ONLY docs row cache
+  (full text column), which cannot column-prune and inflated
+  s8_asof to 5.34 s at local[1] — a harness artifact, not probe cost.
 - sandbox noise: the VM shows ±70% run-to-run wall-clock swings
   (co-tenant CPU steal); legs are interleaved {reps}× and the MEDIAN
   of per-pair efficiencies is the headline (pairing cancels slow load
