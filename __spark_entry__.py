@@ -328,6 +328,21 @@ def q_kg_sparql_ask(spark, sf):
     return execute_sparql(_graph(spark, sf), q)
 
 
+def q_kg_sparql_describe(spark, sf):
+    """SPARQL DESCRIBE (round-5 extension): one-hop outgoing subgraph
+    of an explicit IRI (pushdown-filter arm) plus every ?d bound by the
+    WHERE group (distinct-bindings join arm) — query/sparql.py
+    _execute_describe."""
+    from rdf_knowledge_extractor_spark.query.sparql import execute_sparql
+
+    src = f"{BASE}src_src3"
+    q = f"""
+    PREFIX kg: <{NS}>
+    DESCRIBE <{src}> ?d WHERE {{ ?d kg:belongsTo <{src}> }}
+    """
+    return execute_sparql(_graph(spark, sf), q)
+
+
 def q_kg_sparql_group_concat(spark, sf):
     """SPARQL GROUP_CONCAT + SAMPLE (round-5 extension): per-source
     sorted lang concatenation — one Catalyst hash aggregate
@@ -891,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_minus": q_kg_sparql_minus,
         "kg_sparql_bind_values": q_kg_sparql_bind_values,
         "kg_sparql_ask": q_kg_sparql_ask,
+        "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_group_concat": q_kg_sparql_group_concat,
         "kg_sparql_pneg": q_kg_sparql_pneg,
         "kg_sparql_subquery": q_kg_sparql_subquery,
@@ -1107,6 +1123,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) > 0 AS ask
             FROM ({dedup})
             WHERE predicate = '{NS}hasLang' AND object = 'en'
+        """,
+        "kg_sparql_describe": f"""
+            WITH g AS ({dedup}),
+            res AS (
+              SELECT '{BASE}src_src3' AS s
+              UNION
+              SELECT subject FROM g
+              WHERE predicate = '{NS}belongsTo'
+                AND object = '{BASE}src_src3'
+            )
+            SELECT DISTINCT g.subject, g.predicate, g.object
+            FROM g JOIN res ON g.subject = res.s
         """,
         "kg_sparql_group_concat": f"""
             WITH g AS ({dedup}),

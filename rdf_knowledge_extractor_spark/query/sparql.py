@@ -171,10 +171,15 @@ class SparqlEngine:
             prefixes[pname.rstrip(":").split(":")[0]] = uri[1:-1]
 
         form = take()
-        if form is None or form.upper() not in ("SELECT", "CONSTRUCT", "ASK"):
-            raise SparqlError(f"expected SELECT, CONSTRUCT or ASK, got {form!r}")
+        if form is None or form.upper() not in (
+            "SELECT", "CONSTRUCT", "ASK", "DESCRIBE"
+        ):
+            raise SparqlError(
+                f"expected SELECT, CONSTRUCT, ASK or DESCRIBE, got {form!r}"
+            )
         is_construct = form.upper() == "CONSTRUCT"
         is_ask = form.upper() == "ASK"
+        is_describe = form.upper() == "DESCRIBE"
         proj: list[str] = []
         aggs: list[_Agg] = []
         star = False
@@ -183,7 +188,24 @@ class SparqlEngine:
         if peek() and peek().upper() == "DISTINCT":
             take()
             distinct = True
-        while not is_construct and not is_ask and peek() and peek().upper() != "WHERE":
+        describe_star = False
+        describe_raw: list[str] = []
+        if is_describe:
+            # DESCRIBE ( VarOrIri+ | '*' ) WhereClause?  (§16.4: the
+            # WHERE group is optional; the description form is
+            # service-defined — ours is the one-hop outgoing subgraph,
+            # which with no blank nodes in the data model IS the
+            # Concise Bounded Description).
+            while peek() and peek().upper() != "WHERE" and peek() != "{":
+                t = take()
+                if t == "*":
+                    describe_star = True
+                else:
+                    describe_raw.append(t)
+            if not describe_star and not describe_raw:
+                raise SparqlError("DESCRIBE needs ?vars, IRIs or *")
+        while not is_construct and not is_ask and not is_describe \
+                and peek() and peek().upper() != "WHERE":
             t = take()
             if t == "*":
                 star = True
@@ -230,8 +252,8 @@ class SparqlEngine:
                 aggs.append(_Agg(fn.lower(), var, agg_distinct, alias[1:], sep))
             else:
                 raise SparqlError(f"bad projection term {t!r}")
-        if is_ask:
-            # SPARQL grammar: ASK takes an optional WHERE keyword
+        if is_ask or is_describe:
+            # SPARQL grammar: ASK/DESCRIBE take an optional WHERE keyword
             if peek() and peek().upper() == "WHERE":
                 take()
         elif not is_construct:
@@ -563,7 +585,21 @@ class SparqlEngine:
             if any(isinstance(p.p, tuple) for p in template):
                 raise SparqlError("CONSTRUCT template cannot contain property paths")
             expect("WHERE")
-        group = parse_group()
+        if is_describe and peek() != "{":
+            group = _Group()  # DESCRIBE <iri> — no WHERE group at all
+        else:
+            group = parse_group()
+        describe_terms: list[tuple[str, str]] | None = None
+        if is_describe:
+            describe_terms = []
+            for t in describe_raw:
+                if t.startswith("?"):
+                    describe_terms.append(("var", t[1:]))
+                else:
+                    r = resolve(t)
+                    if r.startswith("\0LIT"):
+                        raise SparqlError("DESCRIBE takes IRIs or ?vars, not literals")
+                    describe_terms.append(("iri", r))
 
         order: list[tuple[str, bool]] = []  # (var, descending)
         limit: int | None = None
@@ -611,6 +647,7 @@ class SparqlEngine:
             "offset": offset,
             "construct": template,
             "ask": is_ask,
+            "describe": (describe_terms, describe_star) if is_describe else None,
         }
 
     # -- compilation ---------------------------------------------------
@@ -927,7 +964,11 @@ class SparqlEngine:
             # result into the group as a solution multiset.  Only
             # projected vars are visible outside (SPARQL 1.1 §12).
             sparsed = self.parse(sub_text)
-            if sparsed[5].get("ask") or sparsed[5]["construct"]:
+            if (
+                sparsed[5].get("ask")
+                or sparsed[5]["construct"]
+                or sparsed[5].get("describe")
+            ):
                 raise SparqlError("subqueries must be SELECT")
             sdf, smaybe = self._execute_parsed(*sparsed)
             df, maybe = (sdf, smaybe) if df is None else self._compat_join(
@@ -1185,6 +1226,53 @@ class SparqlEngine:
             out = out.limit(limit)
         return out
 
+    def _execute_describe(
+        self,
+        solutions: DataFrame,
+        terms: list[tuple[str, str]],
+        star: bool,
+        limit: int | None,
+    ) -> DataFrame:
+        """DESCRIBE: the one-hop outgoing subgraph of each resource.
+
+        §16.4 leaves the description form service-defined; with no blank
+        nodes in this data model the outgoing one-hop slice IS the
+        Concise Bounded Description.  Two arms, unioned:
+
+        - explicit IRIs compile to `subject IN (...)` — a pushed-down
+          scan filter, no join (the 100-TB `DESCRIBE <x>` path touches
+          only matching row groups);
+        - ?var terms (or every in-scope var for `DESCRIBE *`) collect
+          their DISTINCT non-null bindings and inner-join the graph on
+          subject — literals bound to a var simply match no subject.
+        """
+        g = self.graph
+        parts: list[DataFrame] = []
+        iris = sorted({t[1] for t in terms if t[0] == "iri"})
+        var_names = [t[1] for t in terms if t[0] == "var"]
+        if star:
+            var_names = list(solutions.columns)
+        if iris:
+            parts.append(g.filter(F.col("subject").isin(iris)))
+        present = [v for v in dict.fromkeys(var_names) if v in solutions.columns]
+        if present:
+            res = None
+            for v in present:
+                arm = solutions.select(F.col(v).alias("subject")).filter(
+                    F.col("subject").isNotNull()
+                )
+                res = arm if res is None else res.unionByName(arm)
+            parts.append(g.join(res.distinct(), on="subject", how="inner"))
+        if not parts:  # all vars unbound in the WHERE group → empty graph
+            return g.filter(F.lit(False)).select("subject", "predicate", "object")
+        out = parts[0]
+        for p2 in parts[1:]:
+            out = out.unionByName(p2)
+        out = out.select("subject", "predicate", "object").distinct()
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
     def _agg_column(self, a: _Agg):
         if a.var is None:  # COUNT(*)
             return F.count(F.lit(1)).alias(a.alias)
@@ -1222,7 +1310,17 @@ class SparqlEngine:
         The maybe set is threaded out so a SubSelect's result can join
         its enclosing group with correct compatible-mapping semantics
         (isnull-or-equal residuals only where a var can be unbound)."""
-        df, maybe = self._compile_group(group)
+        if extras.get("describe") and not (
+            group.patterns or group.optionals or group.unions
+            or group.values_ or group.subselects
+        ):
+            # DESCRIBE <iri> … with no WHERE clause: no solutions to
+            # compute — a one-row dummy keeps the executor uniform.
+            df, maybe = self.graph.sparkSession.range(1).select(
+                F.lit(1).alias("_one")
+            ), set()
+        else:
+            df, maybe = self._compile_group(group)
         if extras.get("ask"):
             # ASK → one boolean row.  limit(1) short-circuits: Spark's
             # CollectLimit stops the scan at the first solution, so at
@@ -1232,6 +1330,9 @@ class SparqlEngine:
             ), set()
         if extras["construct"]:
             return self._execute_construct(df, extras["construct"], limit), set()
+        if extras.get("describe"):
+            terms, dstar = extras["describe"]
+            return self._execute_describe(df, terms, dstar, limit), set()
         aggs, group_by = extras["aggs"], extras["group_by"]
         if group_by and not aggs:
             # GROUP BY with no aggregate in the projection: solution
@@ -1311,7 +1412,9 @@ def execute_sparql(graph: DataFrame, query: str) -> DataFrame:
     propagate its parse error instead of silently degrading to a full
     graph dump, which would feed templates wrong data as a "success".
     """
-    if not query.strip().lower().startswith(("select", "prefix", "construct", "ask")):
+    if not query.strip().lower().startswith(
+        ("select", "prefix", "construct", "ask", "describe")
+    ):
         raise SparqlError(
             "Only SELECT queries are supported in this simplified implementation"
         )

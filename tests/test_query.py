@@ -1027,3 +1027,87 @@ def test_sparql_replace_and_coalesce(graph):
     }}"""
     rows = {(r.e, r.rev) for r in execute_sparql(graph, q).collect()}
     assert rows == {(R + "Acme", "unknown"), (R + "Beta", "USD 10M")}
+
+
+# -- round-5 additions: DESCRIBE ------------------------------------
+
+def test_sparql_describe_iri_no_where(graph):
+    """DESCRIBE <iri> — no WHERE group at all; the one-hop outgoing
+    subgraph of the resource (ref query surface parity: the reference
+    dispatcher has no DESCRIBE, ours completes the §16.4 query forms)."""
+    out = execute_sparql(graph, f"DESCRIBE <{R}Acme>")
+    assert out.columns == ["subject", "predicate", "object"]
+    rows = {(r.subject, r.predicate, r.object) for r in out.collect()}
+    assert rows == {
+        (R + "Acme", RDF_TYPE, NS + "Organization"),
+        (R + "Acme", NS + "hasName", "Acme Corp"),
+        (R + "Acme", NS + "hasPriorityScore", "90"),
+    }
+
+
+def test_sparql_describe_iri_is_join_free(graph):
+    """The explicit-IRI arm must compile to a pushdown filter, not a
+    join — at 100 TB `DESCRIBE <x>` touches only matching row groups."""
+    import contextlib
+    import io
+
+    out = execute_sparql(graph, f"DESCRIBE <{R}Acme>")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert "Join" not in buf.getvalue()
+
+
+def test_sparql_describe_var(graph):
+    q = f"""PREFIX kg: <{NS}>
+    DESCRIBE ?e WHERE {{ ?e kg:hasRole "CEO" }}"""
+    rows = {(r.subject, r.predicate, r.object)
+            for r in execute_sparql(graph, q).collect()}
+    assert rows == {
+        (R + "Jane", NS + "hasRole", "CEO"),
+        (R + "Jane", NS + "worksFor", R + "Acme"),
+    }
+
+
+def test_sparql_describe_star_and_literal_bindings(graph):
+    """DESCRIBE * describes every in-scope binding; literal bindings
+    (?n — names) match no subject and contribute nothing."""
+    q = f"""PREFIX kg: <{NS}>
+    DESCRIBE * WHERE {{ ?p kg:worksFor ?org . ?org kg:hasName ?n }}"""
+    rows = {(r.subject, r.predicate, r.object)
+            for r in execute_sparql(graph, q).collect()}
+    jane = {(R + "Jane", NS + "hasRole", "CEO"),
+            (R + "Jane", NS + "worksFor", R + "Acme")}
+    acme = {(R + "Acme", RDF_TYPE, NS + "Organization"),
+            (R + "Acme", NS + "hasName", "Acme Corp"),
+            (R + "Acme", NS + "hasPriorityScore", "90")}
+    assert rows == jane | acme
+
+
+def test_sparql_describe_mixed_iri_and_var_distinct(graph):
+    """IRI and ?var arms union WITHOUT duplicates even when they name
+    the same resource."""
+    q = f"""PREFIX kg: <{NS}>
+    DESCRIBE <{R}Acme> ?org WHERE {{ ?p kg:worksFor ?org }}"""
+    out = execute_sparql(graph, q).collect()
+    assert len(out) == 3  # Acme described once, not twice
+
+
+def test_sparql_describe_unbound_var_empty(graph):
+    q = f"""PREFIX kg: <{NS}>
+    DESCRIBE ?ghost WHERE {{ ?e kg:hasRole "CTO" }}"""
+    assert execute_sparql(graph, q).count() == 0
+
+
+def test_sparql_describe_rejects_literals_and_empty(graph):
+    with pytest.raises(SparqlError):
+        execute_sparql(graph, 'DESCRIBE "Acme Corp"')
+    with pytest.raises(SparqlError):
+        execute_sparql(graph, "DESCRIBE WHERE { ?s ?p ?o }")
+
+
+def test_sparql_subquery_rejects_describe(graph):
+    with pytest.raises(SparqlError):
+        execute_sparql(
+            graph, "SELECT ?x WHERE { { DESCRIBE ?x WHERE { ?x ?p ?o } } }"
+        )
