@@ -712,6 +712,54 @@ def q_corpus_top_terms(spark, sf):
     return top_terms(_docs(spark, sf), k=100, min_count=2)
 
 
+def q_corpus_decontam(spark, sf):
+    """Benchmark decontamination (round-5 training-data op): report
+    every document sharing a word n-gram with the 'benchmark' slice
+    (doc_id % 37 == 0 — a deterministic stand-in eval set drawn from
+    the same table).  n=3 so the synthetic word-soup vocabulary
+    produces non-trivial overlap; the operator defaults to the
+    published n=13.  Plan: benchmark n-grams broadcast, one shuffle
+    over matched rows only (operators/decontam.py)."""
+    from rdf_knowledge_extractor_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    docs = _docs(spark, sf)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    return contamination_report(docs, bench, n=3)
+
+
+def q_corpus_pii(spark, sf):
+    """PII scrub (round-5 training-data op): per-type counts + md5 of
+    the redacted text.  PII is planted deterministically from doc_id
+    (the word-soup corpus contains none), identically in the oracle;
+    zero-shuffle Catalyst map (functions/pii.py)."""
+    from rdf_knowledge_extractor_spark.functions.pii import scrub_pii
+
+    aug = _docs(spark, sf).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+            F.concat(F.lit("10.0."),
+                     (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            F.concat(F.lit("555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).alias("text"),
+    )
+    return scrub_pii(aug).select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def q_multimodal_features(spark, sf):
     from rdf_knowledge_extractor_spark.functions.multimodal import (
         documents_as_media,
@@ -941,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "corpus_repetition": q_corpus_repetition,
         "corpus_top_terms": q_corpus_top_terms,
+        "corpus_decontam": q_corpus_decontam,
+        "corpus_pii": q_corpus_pii,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -1595,6 +1645,48 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(q.quality_score, 0.99), 4) AS p99
         FROM q JOIN l ON q.doc_id = l.doc_id
         GROUP BY l.lang_pred
+    """
+    # word 3-grams via a fixed index range (DuckDB generate_series
+    # cannot take a column bound); docs cap at 100 tokens, range 128.
+    # DuckDB list slice t[i:i+2] is 1-based INCLUSIVE — 3 elements.
+    qm["corpus_decontam"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+          FROM toks, generate_series(1, 128) AS s(i)
+          WHERE i <= len(t) - 2
+        ),
+        bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 37 = 0)
+        SELECT d.doc_id, CAST(count(DISTINCT d.g) AS BIGINT) AS n_matched
+        FROM grams d JOIN bg ON d.g = bg.g
+        GROUP BY d.doc_id
+    """
+    # derived from the ENGINE's pattern registry so the oracle cannot
+    # drift when PII types are added (same policy as _lang_scores_sql)
+    from rdf_knowledge_extractor_spark.functions.pii import PII_TYPES
+
+    pii_aug = (
+        "text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+        " || ' 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{t}"
+        for t, (pat, _) in PII_TYPES.items()
+    )
+    pii_redacted = "text"
+    for pat, token in PII_TYPES.values():
+        pii_redacted = f"regexp_replace({pii_redacted}, '{pat}', '{token}', 'g')"
+    qm["corpus_pii"] = f"""
+        WITH aug AS (SELECT doc_id, {pii_aug} AS text FROM documents)
+        SELECT doc_id, {pii_counts}, md5({pii_redacted}) AS redacted_md5
+        FROM aug
     """
     # minhash-LSH verified output equals the exact-Jaccard answer
     # (candidate recall ≈ 1 - 1e-35 at J ≥ 0.9 with 32 bands × 2 rows)
