@@ -729,6 +729,19 @@ def q_corpus_decontam(spark, sf):
     return contamination_report(docs, bench, n=3)
 
 
+def q_corpus_pack(spark, sf):
+    """Sequence packing (round-5 training-data op): bounded-overflow
+    bin assignment — one window over the shard partitioning = one
+    shuffle (operators/packing.py; the exact greedy variant is
+    applyInPandas per shard, pytest-verified against an independent
+    packer)."""
+    from rdf_knowledge_extractor_spark.operators.packing import (
+        pack_sequences_binned,
+    )
+
+    return pack_sequences_binned(_docs(spark, sf), max_tokens=512, n_shards=8)
+
+
 def q_corpus_pii(spark, sf):
     """PII scrub (round-5 training-data op): per-type counts + md5 of
     the redacted text.  PII is planted deterministically from doc_id
@@ -990,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_repetition": q_corpus_repetition,
         "corpus_top_terms": q_corpus_top_terms,
         "corpus_decontam": q_corpus_decontam,
+        "corpus_pack": q_corpus_pack,
         "corpus_pii": q_corpus_pii,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -1665,6 +1679,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, CAST(count(DISTINCT d.g) AS BIGINT) AS n_matched
         FROM grams d JOIN bg ON d.g = bg.g
         GROUP BY d.doc_id
+    """
+    # bounded-overflow packing: exclusive running token count within
+    # the shard's doc_id order, bins cut at multiples of 512
+    qm["corpus_pack"] = r"""
+        WITH t AS (
+          SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+          FROM t
+        )
+        SELECT doc_id, shard, CAST(floor(ce / 512.0) AS BIGINT) AS bin,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM c
     """
     # derived from the ENGINE's pattern registry so the oracle cannot
     # drift when PII types are added (same policy as _lang_scores_sql)
