@@ -729,6 +729,21 @@ def q_corpus_decontam(spark, sf):
     return contamination_report(docs, bench, n=3)
 
 
+def q_corpus_chunks(spark, sf):
+    """Sliding-token-window chunking (round-5 training-data op):
+    zero-shuffle Generate fan-out, md5 of each chunk as the value
+    check (operators/chunking.py)."""
+    from rdf_knowledge_extractor_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    out = chunk_documents(_docs(spark, sf), chunk_tokens=32, stride=16)
+    return out.select(
+        "doc_id", "chunk_idx", "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_corpus_pack(spark, sf):
     """Sequence packing (round-5 training-data op): bounded-overflow
     bin assignment — one window over the shard partitioning = one
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_terms": q_corpus_top_terms,
         "corpus_decontam": q_corpus_decontam,
         "corpus_pack": q_corpus_pack,
+        "corpus_chunks": q_corpus_chunks,
         "corpus_pii": q_corpus_pii,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -1679,6 +1695,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, CAST(count(DISTINCT d.g) AS BIGINT) AS n_matched
         FROM grams d JOIN bg ON d.g = bg.g
         GROUP BY d.doc_id
+    """
+    # sliding token windows: starts at multiples of 16 while < len;
+    # DuckDB slice is 1-based inclusive, so [st*16+1 : st*16+32] is the
+    # 32-token window
+    qm["corpus_chunks"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        st AS (
+          SELECT doc_id, t, i AS chunk_idx
+          FROM toks, generate_series(0, 63) s(i)
+          WHERE i * 16 < len(t)
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(least(len(t) - chunk_idx * 16, 32) AS BIGINT) AS n_tokens,
+               md5(array_to_string(t[chunk_idx*16+1 : chunk_idx*16+32], ' '))
+                 AS chunk_md5
+        FROM st
     """
     # bounded-overflow packing: exclusive running token count within
     # the shard's doc_id order, bins cut at multiples of 512
