@@ -135,6 +135,7 @@ def streaming_curate(
     ts_col: str = "ingest_ts",
     text_col: str = "text",
     id_col: str = "doc_id",
+    redact: bool = False,
 ) -> DataFrame:
     """Streaming variant of `operators.curation.curate_corpus`.
 
@@ -163,12 +164,24 @@ def streaming_curate(
     scored = quality_metrics(s, text_col=text_col).withColumn(
         "lang_pred", detect_language(F.col(text_col))
     )
-    return scored.filter(
+    kept = scored.filter(
         (F.col("lang_pred") == lang)
         & (F.col("n_words") >= min_words)
         & (F.col("digit_ratio") <= max_digit_ratio)
         & (F.col("quality_score") >= min_quality)
-    ).select(id_col, "lang_pred", "n_words", "quality_score")
+    )
+    if redact:
+        # PII scrub is stateless Catalyst (functions/pii.py), so it
+        # composes into the streaming gate unchanged — redaction
+        # happens AFTER quality scoring so metrics see the real text,
+        # but only surviving docs pay the regex pass.
+        from rdf_knowledge_extractor_spark.functions.pii import redact_pii
+
+        return kept.select(
+            id_col, "lang_pred", "n_words", "quality_score",
+            redact_pii(F.col(text_col)).alias("redacted"),
+        )
+    return kept.select(id_col, "lang_pred", "n_words", "quality_score")
 
 
 def start_attribution_sink(

@@ -187,6 +187,42 @@ def test_streaming_curate_matches_batch(spark, tmp_path):
     assert len(got) == 8
 
 
+def test_streaming_curate_redacts_pii(spark, tmp_path):
+    """redact=True adds a PII-scrubbed text column to the surviving
+    docs — the scrub is stateless Catalyst so it composes into the
+    streaming gate unchanged."""
+    from pyspark.sql import types as T
+
+    from rdf_knowledge_extractor_spark.streaming.ingest import streaming_curate
+
+    en = (
+        "the cat and the dog sat on the mat and looked at the sun of a day "
+        "for a while in the park and you can mail me at bob@example.com"
+    )
+    docs = spark.createDataFrame([(1, en, "src0")],
+                                 "doc_id long, text string, source string")
+    in_dir = str(tmp_path / "docs_in_pii")
+    docs.coalesce(1).write.parquet(in_dir)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = streaming_curate(stream, lang="en", min_words=10, redact=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    [r] = spark.sql("SELECT * FROM curated_pii_stream").collect()
+    assert "bob@example.com" not in r.redacted
+    assert "<EMAIL>" in r.redacted
+
+
 def test_streaming_attribution_equals_batch_asof(spark, tmp_path):
     """foreachBatch as-of attribution: union of micro-batch outputs ==
     the one-shot batch asof_join on the same data; replays idempotent
