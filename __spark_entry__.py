@@ -729,6 +729,35 @@ def q_corpus_decontam(spark, sf):
     return contamination_report(docs, bench, n=3)
 
 
+def q_text_entropy(spark, sf):
+    """Char-bigram Shannon entropy over the first 256 chars (round-5
+    gibberish signal): bounded explode + two map-side-combinable hash
+    aggregates (functions/text_analysis.char_bigram_entropy)."""
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        char_bigram_entropy,
+    )
+
+    return char_bigram_entropy(_docs(spark, sf), max_chars=256)
+
+
+def q_corpus_split(spark, sf):
+    """Deterministic 90/5/5 train/val/test assignment (round-5
+    training-data op): stateless hash CASE, zero-shuffle
+    (operators/splits.py)."""
+    from rdf_knowledge_extractor_spark.operators.splits import assign_splits
+
+    return assign_splits(_docs(spark, sf)).select("doc_id", "split")
+
+
+def q_corpus_tfidf(spark, sf):
+    """TF-IDF top-5 keywords per doc (round-5 training-data op): two
+    hash aggregates over one tokenization + WindowGroupLimit top-k
+    (operators/tfidf.py)."""
+    from rdf_knowledge_extractor_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=5)
+
+
 def q_corpus_chunks(spark, sf):
     """Sliding-token-window chunking (round-5 training-data op):
     zero-shuffle Generate fan-out, md5 of each chunk as the value
@@ -1020,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontam": q_corpus_decontam,
         "corpus_pack": q_corpus_pack,
         "corpus_chunks": q_corpus_chunks,
+        "corpus_split": q_corpus_split,
+        "text_entropy": q_text_entropy,
+        "corpus_tfidf": q_corpus_tfidf,
         "corpus_pii": q_corpus_pii,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -1695,6 +1727,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, CAST(count(DISTINCT d.g) AS BIGINT) AS n_matched
         FROM grams d JOIN bg ON d.g = bg.g
         GROUP BY d.doc_id
+    """
+    # char-bigram entropy over a 256-char prefix; docs shorter than 2
+    # chars keep a row with entropy 0 (explode_outer in the engine)
+    qm["text_entropy"] = r"""
+        WITH t AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents),
+        bg AS (
+          SELECT doc_id, substr(t, i, 2) AS bg
+          FROM t, generate_series(1, 255) s(i)
+          WHERE i <= length(t) - 1
+        ),
+        c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+        tot AS (SELECT doc_id, SUM(c) AS total FROM c GROUP BY doc_id),
+        ent AS (
+          SELECT c.doc_id,
+                 -SUM((c.c * 1.0 / tot.total) * ln(c.c * 1.0 / tot.total))
+                   AS e
+          FROM c JOIN tot USING (doc_id) GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(tot.total, 0) AS BIGINT) AS n_bigrams,
+               round(COALESCE(ent.e, 0.0), 4) AS entropy
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN ent USING (doc_id)
+    """
+    # split bounds derived from the ENGINE's boundary function
+    from rdf_knowledge_extractor_spark.operators.splits import split_boundaries
+
+    _sb = split_boundaries({"train": 0.9, "val": 0.05, "test": 0.05})
+    _hex8 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+    _cases = " ".join(
+        f"WHEN {_hex8} < '{upper}' THEN '{name}'" for name, upper in _sb[:-1]
+    )
+    qm["corpus_split"] = f"""
+        SELECT doc_id,
+               CASE {_cases} ELSE '{_sb[-1][0]}' END AS split
+        FROM documents
+    """
+    qm["corpus_tfidf"] = r"""
+        WITH terms AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM terms WHERE length(term) > 0 GROUP BY doc_id, term
+        ),
+        dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 round(tf.tf * ln(nd * 1.0 / dfq.df), 4) AS tfidf,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(nd * 1.0 / dfq.df), 4) DESC,
+                            tf.term ASC) AS rank
+          FROM tf JOIN dfq USING (term), n
+        )
+        SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
     """
     # sliding token windows: starts at multiples of 16 while < len;
     # DuckDB slice is 1-based inclusive, so [st*16+1 : st*16+32] is the

@@ -180,3 +180,59 @@ def char_shingles(text: Column, k: int = 9) -> Column:
             )
         ),
     ).otherwise(F.array(text))
+
+
+def char_bigram_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 512,
+) -> DataFrame:
+    """(id_col, n_bigrams, entropy) — Shannon entropy (nats, 4 dp) of
+    the character-bigram distribution over the first `max_chars`
+    characters.
+
+    A Gopher-style gibberish signal: natural language sits in a narrow
+    entropy band, while key-mash/minified/encoded blobs score high and
+    single-character repetition scores near 0.  The prefix cap bounds
+    the fan-out (≤ max_chars-1 bigram rows per doc) so the explode
+    stays O(docs·max_chars), not O(corpus bytes), at 100 TB; two hash
+    aggregates (bigram counts, then the entropy fold), both map-side
+    combinable.  Docs shorter than 2 chars yield zero bigrams and are
+    reported with entropy 0.0."""
+    t = F.substring(F.col(text_col), 1, max_chars)
+    n = F.length(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: t.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = df.select(
+        F.col(id_col), F.explode_outer(bigrams).alias("_bg")
+    )
+    counts = pairs.groupBy(id_col, "_bg").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # NULL _bg marks a too-short doc (explode_outer): it still yields
+    # a group so the doc survives into the report with entropy 0
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_bg").isNotNull(), F.col("_c")).otherwise(0))
+        .alias("_total"),
+        F.collect_list(
+            F.when(F.col("_bg").isNotNull(), F.col("_c"))
+        ).alias("_cs"),
+    )
+    ent = F.aggregate(
+        "_cs",
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (c / F.col("_total")) * F.log(c / F.col("_total")),
+    )
+    return per_doc.select(
+        id_col,
+        F.col("_total").cast("long").alias("n_bigrams"),
+        F.round(F.when(F.col("_total") > 0, ent).otherwise(F.lit(0.0)), 4)
+        .alias("entropy"),
+    )

@@ -307,3 +307,28 @@ def test_lang_markers_pinned():
         "intentional, update PINNED_LANG_MARKERS *and* re-validate the "
         "text_langid oracle"
     )
+
+
+def test_quality_metrics_barrier_single_evaluation(spark):
+    """The base text measures must be computed ONCE behind a Generate
+    barrier (round 5): without it, project collapsing re-inlines each
+    alias into every consuming ratio and the O(len) primitives run up
+    to 5x per row.  Guard: the optimized plan contains a Generate, and
+    the expensive regex primitives appear ONLY in it (13 = word_count
+    + spaces + digits + 10 stopwords), not re-inlined above."""
+    import contextlib
+    import io
+
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        quality_metrics,
+    )
+
+    df = quality_metrics(
+        spark.createDataFrame([(1, "a b", "s")], ["doc_id", "text", "source"])
+    ).select("n_words", "quality_score").filter("quality_score >= 0")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert plan.count("Generate") >= 1
+    assert plan.count("regexp_extract_all") == 13

@@ -160,3 +160,39 @@ def test_pii_types_registry_shape():
     assert list(PII_TYPES) == ["email", "ipv4", "phone"]
     for pattern, token in PII_TYPES.values():
         assert token.startswith("<") and token.endswith(">")
+
+
+# -- char-bigram entropy ---------------------------------------------
+
+def test_char_bigram_entropy_closed_forms(spark):
+    import math
+
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        char_bigram_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),      # bigrams: aa x3 -> entropy 0
+            (2, "abab"),      # ab,ba,ab -> p=(2/3,1/3)
+            (3, "x"),         # too short -> 0 bigrams, entropy 0
+            (4, ""),          # empty -> 0 bigrams, entropy 0
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in char_bigram_entropy(df).collect()}
+    assert (rows[1].n_bigrams, rows[1].entropy) == (3, 0.0)
+    expect = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert rows[2].entropy == round(expect, 4)
+    assert (rows[3].n_bigrams, rows[3].entropy) == (0, 0.0)
+    assert (rows[4].n_bigrams, rows[4].entropy) == (0, 0.0)
+
+
+def test_char_bigram_entropy_prefix_cap(spark):
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        char_bigram_entropy,
+    )
+
+    df = spark.createDataFrame([(1, "ab" * 1000)], ["doc_id", "text"])
+    [r] = char_bigram_entropy(df, max_chars=16).collect()
+    assert r.n_bigrams == 15  # capped at the prefix, not the full doc
