@@ -758,6 +758,48 @@ def q_corpus_tfidf(spark, sf):
     return tfidf_top_terms(_docs(spark, sf), k=5)
 
 
+def q_corpus_lm_ppl(spark, sf):
+    """Corpus-trained add-one bigram-LM perplexity per doc (round-5
+    training-data op): one bigram explode + three hash aggregates +
+    two sort-merge joins, all Catalyst (operators/lm_score.py)."""
+    from rdf_knowledge_extractor_spark.operators.lm_score import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_docs(spark, sf))
+
+
+def q_corpus_dupspans(spark, sf):
+    """Cross-document duplicate 8-token-window spans, Lee-et-al-style
+    (round-5 training-data op): windows explode + gram doc-count
+    aggregate + skew-tolerant join back (operators/dupspans.py).
+    exact_grams=True so the DuckDB oracle compares gram strings."""
+    from rdf_knowledge_extractor_spark.operators.dupspans import (
+        duplicate_span_report,
+    )
+
+    return duplicate_span_report(_docs(spark, sf), k=8, exact_grams=True)
+
+
+def q_corpus_mix(spark, sf):
+    """Deterministic downsampling to a 3-language recipe (round-5
+    training-data op): one counts aggregate broadcast back, stateless
+    md5-threshold keep predicate (operators/mixing.py).  Grouped by
+    lang because the synthetic langs are non-uniform, so the rates
+    exercise the binding-group math."""
+    from rdf_knowledge_extractor_spark.operators.mixing import (
+        mix_to_weights,
+    )
+
+    return mix_to_weights(
+        _docs(spark, sf), MIX_WEIGHTS, group_col="lang"
+    ).select("doc_id", "lang", "mix_rate")
+
+
+# the mixing recipe the driver query and its oracle share
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "fr": 0.3}
+
+
 def q_corpus_chunks(spark, sf):
     """Sliding-token-window chunking (round-5 training-data op):
     zero-shuffle Generate fan-out, md5 of each chunk as the value
@@ -869,6 +911,55 @@ def q_multimodal_jpeg(spark, sf):
         F.round(F.element_at("feature", 3) * 4).cast("long").alias("channels"),
         F.round(F.element_at("feature", 4) * 255).cast("long").alias("mean_px"),
         "decoder",
+    )
+
+
+def q_corpus_weighted_sample(spark, sf):
+    """Weighted sampling without replacement per language (round-5
+    curation op): Efraimidis–Spirakis priorities from the md5 uniform,
+    weight = n_chars, k=20 per lang; rank≤k compiles to
+    WindowGroupLimit (operators/curation.weighted_sample_per_group)."""
+    from rdf_knowledge_extractor_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    return weighted_sample_per_group(
+        _docs(spark, sf), weight_col="n_chars", group_col="lang", k=20
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_kg_pagerank(spark, sf):
+    """Damped PageRank (5 iterations) over the KG's belongsTo link
+    structure (round-5 graph-analytics op): per-iteration
+    localCheckpoint, rank-only re-shuffles, broadcast dangling mass
+    (operators/pagerank.py).  The oracle unrolls the same five
+    iterations as chained CTEs."""
+    from rdf_knowledge_extractor_spark.operators.pagerank import pagerank
+    from rdf_knowledge_extractor_spark.sources.doc_triples import (
+        NS,
+        derive_triples,
+    )
+
+    edges = (
+        derive_triples(_docs(spark, sf))
+        .filter(F.col("predicate") == NS + "belongsTo")
+        .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+def q_events_funnel(spark, sf):
+    """Ordered view→click→purchase funnel over high-value events
+    (round-5 analytics op): one-shuffle sorted-fold chain matching;
+    the oracle evaluates the same semantics as cascaded min-join
+    aggregates — a genuine differential test (operators/funnel.py).
+    The value>120 cut thins the synthetic stream so conversion is
+    partial (95→46→10 at sf0.01) instead of saturating at 100%."""
+    from rdf_knowledge_extractor_spark.operators.funnel import funnel_report
+
+    return funnel_report(
+        _events(spark, sf).filter(F.col("value") > 120.0),
+        ["view", "click", "purchase"],
     )
 
 
@@ -1052,10 +1143,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "text_entropy": q_text_entropy,
         "corpus_tfidf": q_corpus_tfidf,
+        "corpus_lm_ppl": q_corpus_lm_ppl,
+        "corpus_dupspans": q_corpus_dupspans,
+        "corpus_mix": q_corpus_mix,
         "corpus_pii": q_corpus_pii,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "corpus_weighted_sample": q_corpus_weighted_sample,
+        "kg_pagerank": q_kg_pagerank,
+        "events_funnel": q_events_funnel,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -1792,6 +1889,205 @@ def oracle_sql() -> dict[str, str]:
     # sliding token windows: starts at multiples of 16 while < len;
     # DuckDB slice is 1-based inclusive, so [st*16+1 : st*16+32] is the
     # 32-token window
+    # A-ES weighted sample: priorities rounded to 12 dp on BOTH sides
+    # before ranking so libm pow() 1-ulp differences cannot flip ranks
+    qm["corpus_weighted_sample"] = """
+        WITH w AS (
+          SELECT doc_id, lang, n_chars,
+                 round(pow(
+                   (CAST(concat('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) + 1.0) / 4294967296.0,
+                   1.0 / n_chars), 12) AS aes
+          FROM documents WHERE n_chars > 0
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY aes DESC, doc_id ASC) AS rn
+          FROM w
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn <= 20
+    """
+    # PageRank: the engine's 5 iterations unrolled as chained CTEs;
+    # arithmetic written with the engine's exact parenthesization
+    # ((1.0 - 0.85) / n, damping * (contrib + dangling / n)) so both
+    # sides accumulate the same IEEE doubles; round(6) absorbs
+    # summation-order 1-ulp drift
+    _pr_cte = ""
+    for _i in range(1, 6):
+        _pr_cte += f""",
+        r{_i} AS (
+          SELECT n.node,
+                 (1.0 - 0.85) / nn.n
+                   + 0.85 * (COALESCE(c.con, 0.0) + d.dm / nn.n) AS rank
+          FROM pr_nodes n
+          LEFT JOIN (
+            SELECT e.dst, SUM(r.rank / e.deg) AS con
+            FROM pr_edges_deg e JOIN r{_i - 1} r ON r.node = e.src
+            GROUP BY e.dst
+          ) c ON c.dst = n.node
+          CROSS JOIN (
+            SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+            FROM r{_i - 1} r LEFT JOIN pr_outdeg o ON o.node = r.node
+            WHERE o.node IS NULL
+          ) d
+          CROSS JOIN nn
+        )"""
+    qm["kg_pagerank"] = f"""
+        WITH pr_edges AS (
+          SELECT DISTINCT subject AS src, object AS dst FROM ({derive})
+          WHERE predicate = '{NS}belongsTo'
+        ),
+        pr_nodes AS (
+          SELECT src AS node FROM pr_edges
+          UNION SELECT dst FROM pr_edges
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pr_nodes),
+        pr_outdeg AS (
+          SELECT src AS node, count(*) AS deg FROM pr_edges GROUP BY src
+        ),
+        pr_edges_deg AS (
+          SELECT e.src, e.dst, o.deg
+          FROM pr_edges e JOIN pr_outdeg o ON o.node = e.src
+        ),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM pr_nodes, nn)
+        {_pr_cte}
+        SELECT node, round(rank, 6) AS rank FROM r5
+    """
+    # funnel chain as cascaded min-join aggregates — a DIFFERENT
+    # evaluation strategy from the engine's sorted greedy fold
+    # (greedy-earliest is provably optimal for strict-order funnels,
+    # so the two must agree)
+    qm["events_funnel"] = """
+        WITH ev AS (SELECT * FROM events WHERE value > 120.0),
+        s1 AS (
+          SELECT user_id, min(ts) AS t FROM ev
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM ev e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s1.t
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t
+          FROM ev e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t
+          GROUP BY e.user_id
+        ),
+        n AS (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                 (SELECT count(*) FROM s1) AS n_users
+          UNION ALL
+          SELECT 2, 'click', (SELECT count(*) FROM s2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        )
+        SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+               round(CASE WHEN (SELECT count(*) FROM s1) > 0
+                     THEN n_users * 1.0 / (SELECT count(*) FROM s1)
+                     ELSE 0.0 END, 4) AS conv_rate
+        FROM n
+    """
+    # add-one bigram LM: positions via lockstep unnest/subscripts (no
+    # fixed token cap), model tables as aggregates, per-doc -ln p sum
+    qm["corpus_lm_ppl"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        pos AS (
+          SELECT doc_id, t, unnest(t) AS w,
+                 generate_subscripts(t, 1) AS i
+          FROM toks
+        ),
+        dbg AS (
+          SELECT doc_id, w AS w1, t[i + 1] AS w2, count(*) AS cnt
+          FROM pos WHERE i < len(t)
+          GROUP BY doc_id, w, t[i + 1]
+        ),
+        c2 AS (SELECT w1, w2, SUM(cnt) AS c2 FROM dbg GROUP BY w1, w2),
+        c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+        v AS (
+          SELECT count(DISTINCT w) AS v
+          FROM pos WHERE length(w) > 0
+        ),
+        sc AS (
+          SELECT dbg.doc_id, SUM(cnt) AS n,
+                 SUM(cnt * -ln((c2.c2 + 1.0) / (c1.c1 + v.v))) AS h
+          FROM dbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+          GROUP BY dbg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,
+               round(COALESCE(h / n, 0.0), 4) AS cross_entropy,
+               round(exp(COALESCE(h / n, 0.0)), 4) AS ppl
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN sc USING (doc_id)
+    """
+    # 8-token duplicate spans: windows from 1-based inclusive slices,
+    # shared iff the gram string occurs in >= 2 distinct docs
+    qm["corpus_dupspans"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        pos AS (
+          SELECT doc_id, t, generate_subscripts(t, 1) AS i FROM toks
+        ),
+        w AS (
+          SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+          FROM pos WHERE i <= len(t) - 7
+        ),
+        gd AS (
+          SELECT gram, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY gram
+        ),
+        pd AS (
+          SELECT w.doc_id, count(*) AS nw,
+                 SUM(CASE WHEN gd.ndocs >= 2 THEN 1 ELSE 0 END) AS ns
+          FROM w JOIN gd USING (gram) GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(nw, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(ns, 0) AS BIGINT) AS n_shared,
+               round(COALESCE(ns * 1.0 / nw, 0.0), 4) AS shared_frac
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN pd USING (doc_id)
+    """
+    # mixing recipe: share map inlined from the ENGINE's MIX_WEIGHTS
+    # so query and oracle can never drift; rate/threshold arithmetic
+    # written with the same parenthesization as operators/mixing.py
+    # CAST AS DOUBLE: DuckDB parses bare 0.5 as DECIMAL, whose exact
+    # arithmetic would diverge from Spark's IEEE doubles at the
+    # threshold bit
+    _mw_case = " ".join(
+        f"WHEN '{g}' THEN CAST({w!r} AS DOUBLE)"
+        for g, w in sorted(MIX_WEIGHTS.items())
+    )
+    _mw_in = ", ".join(f"'{g}'" for g in sorted(MIX_WEIGHTS))
+    qm["corpus_mix"] = f"""
+        WITH c AS (
+          SELECT lang, count(*) AS cnt FROM documents
+          WHERE lang IN ({_mw_in}) GROUP BY lang
+        ),
+        s AS (
+          SELECT lang, cnt, CASE lang {_mw_case} END AS share FROM c
+        ),
+        t AS (SELECT MIN(cnt / share) AS t FROM s),
+        r AS (
+          SELECT lang, (share * t.t) / cnt AS rate,
+                 lower(lpad(to_hex(CAST(least(
+                   floor(((share * t.t) / cnt) * 4294967296.0),
+                   4294967295) AS BIGINT)), 8, '0')) AS thresh
+          FROM s, t
+        )
+        SELECT d.doc_id, d.lang, round(r.rate, 4) AS mix_rate
+        FROM documents d JOIN r USING (lang)
+        WHERE r.rate >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thresh
+    """
     qm["corpus_chunks"] = r"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -1,0 +1,83 @@
+"""End-to-end training-data curation over a documents table.
+
+Chains the corpus operators the way a 100-TB pretraining pipeline
+would: per-language quality gate -> near-dup removal -> benchmark
+decontamination -> PII redaction -> source mixing -> deterministic
+splits -> sequence packing.  Run against the driver-generated parquet:
+
+    python examples/training_data_pipeline.py /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from rdf_knowledge_extractor_spark.session import get_spark
+from rdf_knowledge_extractor_spark.operators.curation import curate_corpus
+from rdf_knowledge_extractor_spark.operators.textdedup import (
+    minhash_lsh_pairs,
+)
+from rdf_knowledge_extractor_spark.operators.decontam import decontaminate
+from rdf_knowledge_extractor_spark.functions.pii import redact_pii
+from rdf_knowledge_extractor_spark.operators.mixing import mix_to_weights
+from rdf_knowledge_extractor_spark.operators.splits import assign_splits
+from rdf_knowledge_extractor_spark.operators.packing import (
+    pack_sequences_binned,
+)
+
+RECIPE = {"en": 0.5, "de": 0.2, "fr": 0.3}
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark(app_name="training-data-pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. per-language quality gate (dedup keep-first + langid +
+    #    length/digit/quality thresholds); the gate emits a manifest,
+    #    so join it back to carry the text forward
+    manifests = [
+        curate_corpus(docs, lang=lang, min_words=5, min_quality=0.2)
+        for lang in RECIPE
+    ]
+    gate = reduce(lambda a, b: a.unionByName(b), manifests)
+    kept = docs.join(gate.select("doc_id"), on="doc_id")
+
+    # 2. near-dup removal: drop the larger id of each verified pair
+    pairs = minhash_lsh_pairs(kept)
+    kept = kept.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="left_anti",
+    )
+
+    # 3. benchmark decontamination (held-out eval set = a tiny slice)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    kept, contamination = decontaminate(kept, bench, n=3)
+
+    # 4. PII redaction
+    kept = kept.withColumn("text", redact_pii(F.col("text")))
+
+    # 5. mix to the target language recipe (downsample-only)
+    mixed = mix_to_weights(kept, RECIPE, group_col="lang")
+
+    # 6. reproducible train/val/test assignment
+    split = assign_splits(mixed)
+
+    # 7. pack the train split into fixed-token-budget sequences
+    train = split.filter(F.col("split") == "train")
+    packed = pack_sequences_binned(train, max_tokens=256)
+
+    print("contaminated docs:", contamination.count())
+    for name, df in [("mixed", mixed), ("splits", split), ("packed", packed)]:
+        print(name, df.count())
+    packed.show(5, truncate=60)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

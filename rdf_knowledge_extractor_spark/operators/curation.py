@@ -295,3 +295,44 @@ def repetition_metrics(
             "bullet_line_frac", "ellipsis_line_frac",
         )
     )
+
+
+def weighted_sample_per_group(
+    docs: DataFrame,
+    weight_col: str,
+    group_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most k docs per group, sampled WITHOUT replacement with
+    probability proportional to `weight_col` (Efraimidis–Spirakis
+    A-ES: priority = u^(1/w) with u the md5-derived uniform in (0,1];
+    the k largest priorities per group are exactly a weighted
+    reservoir sample).  Quality-weighted subsampling for corpus
+    curation — keep the best-scored docs per source with a controlled
+    amount of exploration instead of a hard top-k cutoff.
+
+    Deterministic and engine-portable: u = (md5_32(id)+1)/2^32, so
+    the oracle reproduces selections exactly; rank≤k compiles to
+    WindowGroupLimit (map-side partial top-k, nothing but the k
+    survivors per group crosses the shuffle).  Rows with weight <= 0
+    or NULL are excluded (they'd have priority 0).  The A-ES key is
+    computed per row at scan speed — no extra shuffle versus
+    `quota_per_group`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.conv(_hash_hex8(F.col(id_col)), 16, 10).cast("double") + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.col(weight_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_aes").desc(), F.col(id_col)
+    )
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_aes", F.round(key, 12))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_aes")
+    )

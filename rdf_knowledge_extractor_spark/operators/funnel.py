@@ -1,0 +1,153 @@
+"""Ordered event-funnel analysis: how many users reach each step.
+
+The standard product-analytics query (view → click → purchase): a
+user reaches step j iff their event stream contains the j step types
+at strictly increasing timestamps.  Beyond-reference family (the
+reference engine scopes itself to small KGs —
+/root/reference/README.md).
+
+Scale shape — ONE shuffle, no window function, no Python:
+
+- events are filtered to the funnel's step types scan-side (predicate
+  pushdown), so the shuffle moves only candidate rows;
+- per-user streams are gathered with a single groupBy + collect_set
+  of (ts, type) structs (set semantics dedup identical repeats in the
+  map-side aggregation buffer — no separate distinct shuffle),
+  `array_sort`ed, and matched with a greedy JVM fold (`F.aggregate`):
+  greedy earliest-completion is optimal for strict-order funnels, so
+  the fold computes exactly the classic "t1 = min ts(s1);
+  t2 = min ts(s2) > t1; …" chain in one pass — the DuckDB oracle
+  evaluates that chain as k cascaded join-aggregates, making the
+  comparison a genuine differential test of semantics;
+- the summary collapses depths to a ≤(k+1)-row histogram first, so
+  the per-step counts, the conversion base, and the rates are all
+  computed on that tiny frame (broadcast inequality join + a
+  single-partition window over k rows) without re-traversing the
+  events subtree.
+
+Skew: a hot user concentrates their (filtered) events in one task's
+aggregation buffer.  Identical (ts, type) duplicates are pre-deduped
+map-side (they cannot affect the chain), which bounds the buffer by
+distinct timestamps; beyond that, classic funnel tools share this
+bound — document-level mitigation is a time-range predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def funnel_depths(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """(user_col, depth) — per user, the furthest funnel step reached
+    (0 = none).  With `max_gap_seconds`, each step must also occur
+    within that many seconds of the previous matched step — under the
+    FIRST-TOUCH interpretation (the chain anchors on each step's
+    earliest qualifying event; a user who'd only convert by skipping
+    an early touch in favour of a later one does not count, matching
+    classic first-touch product-analytics funnels).  Without the gap
+    constraint greedy-earliest is provably optimal, so depth is
+    exactly "can k strictly-increasing timestamps be chosen"."""
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {steps}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    k = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    stream = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col),
+            F.struct(
+                F.col(ts_col).alias("ts"), F.col(type_col).alias("t")
+            ).alias("_e"),
+        )
+        # collect_set: identical (ts, type) repeats can't extend a
+        # chain, and set semantics dedup them map-side in the agg
+        # buffer — one shuffle where distinct+collect_list needs two
+        .groupBy(user_col)
+        .agg(F.array_sort(F.collect_set("_e")).alias("_es"))
+    )
+
+    def _step(acc, e):
+        gap_ok = F.lit(True)
+        if max_gap_seconds is not None:
+            gap_ok = e["ts"].cast("double") - acc["last"].cast(
+                "double"
+            ) <= F.lit(float(max_gap_seconds))
+        advance = (
+            (acc["depth"] < k)
+            & (e["t"] == F.element_at(step_arr, acc["depth"] + 1))
+            & ((acc["depth"] == 0) | ((e["ts"] > acc["last"]) & gap_ok))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc["depth"] + 1).alias("depth"), e["ts"].alias("last")
+            ),
+        ).otherwise(acc)
+
+    zero = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("timestamp").alias("last"),
+    )
+    return stream.select(
+        user_col,
+        F.aggregate("_es", zero, _step)["depth"].alias("depth"),
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """(step, event_type, n_users, conv_rate) — one row per funnel
+    step: users reaching at least that step, and the conversion rate
+    relative to step 1 (4 dp; step 1 rate is 1.0 when anyone enters)."""
+    depths = funnel_depths(
+        events, steps, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, max_gap_seconds=max_gap_seconds,
+    )
+    # collapse to a <=(k+1)-row histogram so every downstream step —
+    # per-step cumulative counts, the conversion base, the rates —
+    # runs on a tiny frame instead of re-traversing the events subtree
+    hist = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("_n"))
+    lvl = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], ["step", "event_type"]
+    )
+    counts = (
+        lvl.join(F.broadcast(hist), on=F.col("depth") >= F.col("step"),
+                 how="left")
+        .groupBy("step", "event_type")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_users")
+        )
+    )
+    w = Window.partitionBy()  # k rows: single-partition window is fine
+    return (
+        counts.withColumn(
+            "_n1",
+            F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w),
+        )
+        .withColumn(
+            "conv_rate",
+            F.round(
+                F.when(
+                    F.col("_n1") > 0, F.col("n_users") / F.col("_n1")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .drop("_n1")
+        .orderBy("step")
+    )

@@ -332,3 +332,49 @@ def test_quality_metrics_barrier_single_evaluation(spark):
     plan = buf.getvalue()
     assert plan.count("Generate") >= 1
     assert plan.count("regexp_extract_all") == 13
+
+
+def test_weighted_sample_per_group_matches_independent_aes(spark):
+    """Selections must equal an independent Python A-ES evaluation of
+    the same md5-uniform priorities."""
+    import hashlib
+
+    from rdf_knowledge_extractor_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g" + str(i % 3), float(1 + (i * 7) % 50)) for i in range(90)]
+    rows += [(1000, "g0", 0.0), (1001, "g1", None)]  # excluded
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+
+    def aes(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967296.0
+        return round(u ** (1.0 / w), 12)
+
+    expect = set()
+    for g in ("g0", "g1", "g2"):
+        grp = [(i, w) for i, gg, w in rows if gg == g and w and w > 0]
+        grp.sort(key=lambda t: (-aes(*t), t[0]))
+        expect |= {i for i, _ in grp[:5]}
+
+    got = {
+        r.doc_id
+        for r in weighted_sample_per_group(
+            df, weight_col="w", group_col="source", k=5
+        ).collect()
+    }
+    assert got == expect
+    assert 1000 not in got and 1001 not in got
+
+
+def test_weighted_sample_per_group_validates_k(spark):
+    import pytest as _pytest
+
+    from rdf_knowledge_extractor_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], ["doc_id", "source", "w"])
+    with _pytest.raises(ValueError):
+        weighted_sample_per_group(df, weight_col="w", k=0)

@@ -1,0 +1,88 @@
+"""Ordered event-funnel operator: closed-form chains, ties, gaps."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from rdf_knowledge_extractor_spark.operators.funnel import (
+    funnel_depths,
+    funnel_report,
+)
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    base = dt.datetime(2025, 1, 1)
+    return spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(seconds=s), t)
+            for u, s, t in rows
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+
+
+def test_funnel_depths_closed_form(spark):
+    df = _ev(spark, [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "click"), (2, 2, "view"), (2, 3, "click"),
+        (3, 1, "view"),
+        (4, 1, "purchase"), (4, 2, "click"), (4, 3, "view"),
+        (5, 1, "view"), (5, 1, "click"),          # tie: strict > fails
+        (6, 1, "error"), (6, 2, "error"),          # filtered out
+        (7, 5, "view"), (7, 4, "purchase"), (7, 6, "click"),
+        (7, 7, "purchase"),                        # out-of-order input
+    ])
+    got = {r.user_id: r.depth for r in funnel_depths(df, STEPS).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1, 5: 1, 7: 3}
+
+
+def test_funnel_report_counts_and_rates(spark):
+    df = _ev(spark, [
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "view"), (2, 2, "click"),
+        (3, 1, "view"),
+        (4, 1, "click"),   # enters at step 2 only -> depth 0? no: click
+                            # without a prior view never matches step 1
+    ])
+    rows = funnel_report(df, STEPS).collect()
+    assert [(r.step, r.event_type, r.n_users, r.conv_rate) for r in rows] == [
+        (1, "view", 3, 1.0),
+        (2, "click", 2, round(2 / 3, 4)),
+        (3, "purchase", 1, round(1 / 3, 4)),
+    ]
+
+
+def test_funnel_max_gap_first_touch(spark):
+    df = _ev(spark, [
+        (1, 0, "view"), (1, 10, "click"),
+        (2, 0, "view"), (2, 100, "click"),
+        # first-touch: the view@0 anchor makes click@100 too late even
+        # though view@90 would qualify
+        (3, 0, "view"), (3, 90, "view"), (3, 100, "click"),
+    ])
+    got = {
+        r.user_id: r.depth
+        for r in funnel_depths(df, ["view", "click"],
+                               max_gap_seconds=50).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_funnel_validates_steps(spark):
+    df = _ev(spark, [(1, 1, "view")])
+    with pytest.raises(ValueError):
+        funnel_depths(df, ["view"])
+    with pytest.raises(ValueError):
+        funnel_depths(df, ["view", "view"])
+
+
+def test_funnel_empty_input_reports_zero(spark):
+    df = _ev(spark, [(1, 1, "error")])
+    rows = funnel_report(df, STEPS).collect()
+    assert [(r.step, r.n_users, r.conv_rate) for r in rows] == [
+        (1, 0, 0.0), (2, 0, 0.0), (3, 0, 0.0),
+    ]
