@@ -758,6 +758,23 @@ def q_corpus_tfidf(spark, sf):
     return tfidf_top_terms(_docs(spark, sf), k=5)
 
 
+BM25_QUERIES = {
+    "q_scan": "fast table scan",
+    "q_hash": "hash merge batch",
+    "q_agg": "agg row value",
+}
+
+
+def q_corpus_bm25(spark, sf):
+    """BM25 top-10 retrieval for three fixed queries (round-5
+    training-data op): one corpus-sized postings shuffle, broadcast
+    query-term pruning, WindowGroupLimit top-k; the oracle recomputes
+    the identical Okapi formula in SQL (operators/search.py)."""
+    from rdf_knowledge_extractor_spark.operators.search import bm25_topk
+
+    return bm25_topk(_docs(spark, sf), BM25_QUERIES, k=10)
+
+
 def q_corpus_lm_ppl(spark, sf):
     """Corpus-trained add-one bigram-LM perplexity per doc (round-5
     training-data op): one bigram explode + three hash aggregates +
@@ -1143,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "text_entropy": q_text_entropy,
         "corpus_tfidf": q_corpus_tfidf,
+        "corpus_bm25": q_corpus_bm25,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
@@ -1862,6 +1880,9 @@ def oracle_sql() -> dict[str, str]:
                CASE {_cases} ELSE '{_sb[-1][0]}' END AS split
         FROM documents
     """
+    from rdf_knowledge_extractor_spark.operators.search import bm25_oracle_sql
+
+    qm["corpus_bm25"] = bm25_oracle_sql(BM25_QUERIES, k=10)
     qm["corpus_tfidf"] = r"""
         WITH terms AS (
           SELECT doc_id,
