@@ -765,6 +765,37 @@ BM25_QUERIES = {
 }
 
 
+def _docs_with_urls(spark, sf):
+    """documents + a deterministic synthetic url column (the table has
+    no URL field; the SAME expression is synthesized in the oracle so
+    the comparison exercises the domain operator, not the synth)."""
+    d = _docs(spark, sf)
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"),
+            F.when(d.doc_id % 7 == 0, F.lit("www.")).otherwise(F.lit("")),
+            d.source,
+            (d.doc_id % 37).cast("string"),
+            F.when(d.doc_id % 5 == 0, F.lit(".co.uk")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/p/"),
+            d.doc_id.cast("string"),
+        ),
+    )
+
+
+def q_corpus_domains(spark, sf):
+    """Per-registrable-domain rollup (round-5 web-curation op): pure
+    Catalyst eTLD+1 extraction at scan speed + ONE hash aggregate +
+    broadcast share; the oracle mirrors the same suffix decision
+    table (operators/domains.py)."""
+    from rdf_knowledge_extractor_spark.operators.domains import domain_report
+
+    return domain_report(_docs_with_urls(spark, sf))
+
+
 def q_corpus_bm25(spark, sf):
     """BM25 top-10 retrieval for three fixed queries (round-5
     training-data op): one corpus-sized postings shuffle, broadcast
@@ -1161,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "corpus_tfidf": q_corpus_tfidf,
         "corpus_bm25": q_corpus_bm25,
+        "corpus_domains": q_corpus_domains,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
@@ -1883,6 +1915,30 @@ def oracle_sql() -> dict[str, str]:
     from rdf_knowledge_extractor_spark.operators.search import bm25_oracle_sql
 
     qm["corpus_bm25"] = bm25_oracle_sql(BM25_QUERIES, k=10)
+
+    from rdf_knowledge_extractor_spark.operators.domains import (
+        registrable_domain_sql,
+    )
+
+    _url_synth = (
+        "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END"
+        " || source || CAST(doc_id % 37 AS VARCHAR)"
+        " || CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END"
+        " || '/p/' || CAST(doc_id AS VARCHAR)"
+    )
+    qm["corpus_domains"] = f"""
+        WITH per AS (
+          SELECT {registrable_domain_sql(_url_synth)} AS domain,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+          FROM documents GROUP BY 1
+        )
+        SELECT domain, n_docs, total_chars, avg_chars,
+               round(n_docs / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM per),
+                     4) AS share
+        FROM per
+    """
     qm["corpus_tfidf"] = r"""
         WITH terms AS (
           SELECT doc_id,
