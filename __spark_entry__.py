@@ -786,6 +786,18 @@ def _docs_with_urls(spark, sf):
     )
 
 
+def q_corpus_bpe(spark, sf):
+    """Trained BPE merge table (round-5 tokenizer op): corpus collapses
+    to a word-frequency table once, then vocabulary-sized merge
+    iterations with per-round localCheckpoint (operators/bpe.py).
+    Iterative training is not SQL-expressible — NO oracle (rows-only
+    driver check); correctness carried by the independent-pure-Python
+    differential test (tests/test_bpe.py)."""
+    from rdf_knowledge_extractor_spark.operators.bpe import bpe_merges_df
+
+    return bpe_merges_df(_docs(spark, sf), n_merges=25)
+
+
 def q_corpus_domains(spark, sf):
     """Per-registrable-domain rollup (round-5 web-curation op): pure
     Catalyst eTLD+1 extraction at scan speed + ONE hash aggregate +
@@ -1193,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tfidf": q_corpus_tfidf,
         "corpus_bm25": q_corpus_bm25,
         "corpus_domains": q_corpus_domains,
+        "corpus_bpe": q_corpus_bpe,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
