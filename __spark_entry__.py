@@ -818,6 +818,50 @@ def q_corpus_bm25(spark, sf):
     return bm25_topk(_docs(spark, sf), BM25_QUERIES, k=10)
 
 
+HYBRID_PROBES = {"q_scan": 11, "q_hash": 42, "q_agg": 99}
+
+
+def q_hybrid_search(spark, sf):
+    """Hybrid lexical+vector retrieval fused with RRF (round-5 op):
+    BM25 top-20 and exact-cosine top-20 per query — two already-tiny
+    ranked slivers — fused by reciprocal rank; the oracle recomputes
+    both arms and the fusion in SQL (operators/search.py)."""
+    from rdf_knowledge_extractor_spark.operators.search import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from rdf_knowledge_extractor_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from pyspark.sql import Window
+
+    lex = bm25_topk(_docs(spark, sf), BM25_QUERIES, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = _emb(spark, sf)
+    probes = emb.filter(F.col("vec_id").isin(*HYBRID_PROBES.values()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    name = F.create_map(
+        *[
+            x
+            for qid, vid in HYBRID_PROBES.items()
+            for x in (F.lit(vid), F.lit(qid))
+        ]
+    )
+    vec = (
+        cosine_topk_bruteforce(emb, probes, k=20)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            name[F.col("query_id")].alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return rrf_fuse([lex, vec], k=10)
+
+
 def q_corpus_lm_ppl(spark, sf):
     """Corpus-trained add-one bigram-LM perplexity per doc (round-5
     training-data op): one bigram explode + three hash aggregates +
@@ -1206,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bm25": q_corpus_bm25,
         "corpus_domains": q_corpus_domains,
         "corpus_bpe": q_corpus_bpe,
+        "hybrid_search_rrf": q_hybrid_search,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
@@ -1928,6 +1973,49 @@ def oracle_sql() -> dict[str, str]:
     from rdf_knowledge_extractor_spark.operators.search import bm25_oracle_sql
 
     qm["corpus_bm25"] = bm25_oracle_sql(BM25_QUERIES, k=10)
+
+    _probe_case = " ".join(
+        f"WHEN {vid} THEN '{qid}'" for qid, vid in HYBRID_PROBES.items()
+    )
+    _probe_ids = ", ".join(str(v) for v in HYBRID_PROBES.values())
+    qm["hybrid_search_rrf"] = f"""
+        WITH lex AS (
+          SELECT query_id, doc_id, rank
+          FROM ({bm25_oracle_sql(BM25_QUERIES, k=20)}) _b
+        ),
+        m AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        ),
+        vscored AS (
+          SELECT q.vec_id AS qv, c.vec_id AS doc_id,
+                 round(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 4) AS sim
+          FROM m q JOIN m c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id IN ({_probe_ids})
+        ),
+        vec AS (
+          SELECT CASE qv {_probe_case} END AS query_id, doc_id,
+                 row_number() OVER (
+                   PARTITION BY qv ORDER BY sim DESC, doc_id) AS rank
+          FROM vscored
+          QUALIFY rank <= 20
+        ),
+        u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+        fused AS (
+          SELECT query_id, doc_id, sum(1.0 / (60.0 + rank)) AS rrf
+          FROM u GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, rrf,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(rrf, 6) DESC, doc_id) AS rank
+          FROM fused
+        )
+        SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf
+        FROM ranked WHERE rank <= 10
+    """
 
     from rdf_knowledge_extractor_spark.operators.domains import (
         registrable_domain_sql,

@@ -149,6 +149,41 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 10, c: float = 60.0
+) -> DataFrame:
+    """(query_id, rank, doc_id, rrf) — reciprocal-rank fusion
+    (Cormack/Clarke/Buettcher 2009) of N per-query rankings, each a
+    DataFrame with (query_id, doc_id, rank).  rrf = Σ 1/(c + rank)
+    over the systems that retrieved the doc.
+
+    Scale shape: the inputs are already top-k slivers (k·|queries|
+    rows each), so the union + hash aggregate + WindowGroupLimit all
+    run on tiny frames — fusion adds no corpus-sized work.  The
+    ranking key is the 6-dp-rounded rrf (tie → doc_id) for
+    engine-portable determinism."""
+    if not rankings:
+        raise ValueError("need at least one ranking to fuse")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = rankings[0].select("query_id", "doc_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "doc_id", "rank"))
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum(1.0 / (F.lit(c) + F.col("rank"))).alias("_rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("_rrf"), 6).desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", F.round("_rrf", 6).alias("rrf")
+        )
+    )
+
+
 def bm25_oracle_sql(
     queries: dict[str, str],
     k: int = 10,

@@ -97,6 +97,31 @@ def test_tokenize_query_twin():
     assert tokenize_query("...") == []
 
 
+def test_rrf_fuse_closed_form(spark):
+    from rdf_knowledge_extractor_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    vec = spark.createDataFrame(
+        [("q", 20, 1), ("q", 40, 2)], ["query_id", "doc_id", "rank"]
+    )
+    got = {
+        r.doc_id: (r.rank, r.rrf)
+        for r in rrf_fuse([lex, vec], k=3, c=60.0).collect()
+    }
+    # doc 20: both systems -> 1/62 + 1/61; docs 10/40 rank-1/2 singles
+    assert got[20] == (1, round(1 / 62 + 1 / 61, 6))
+    assert got[10] == (2, round(1 / 61, 6))
+    assert got[40] == (3, round(1 / 62, 6))
+    assert 30 not in got  # k=3 cuts the weakest
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=3)
+    with pytest.raises(ValueError):
+        rrf_fuse([lex], k=0)
+
+
 def test_bm25_plan_shape(spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
