@@ -818,6 +818,32 @@ def q_corpus_bm25(spark, sf):
     return bm25_topk(_docs(spark, sf), BM25_QUERIES, k=10)
 
 
+def q_kg_triangles(spark, sf):
+    """Per-node triangle counts over a deterministic chord graph on
+    the doc ids (round-5 graph-analytics op): degree-ordered
+    orientation (Suri-Vassilvitskii) so each triangle is found once
+    at its smallest corner and hub wedges stay bounded
+    (operators/triangles.py).  The oracle mirrors the same
+    orientation with SQL row-value comparisons."""
+    from rdf_knowledge_extractor_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    d = _docs(spark, sf).select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("_m"))
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(7))).alias("_o"),
+        )
+        .withColumn("dst", F.col("src") + F.col("_o"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("dst") <= F.col("_m"))
+        .select("src", "dst")
+    )
+    return triangle_counts(edges)
+
+
 HYBRID_PROBES = {"q_scan": 11, "q_hash": 42, "q_agg": 99}
 
 
@@ -1251,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_domains": q_corpus_domains,
         "corpus_bpe": q_corpus_bpe,
         "hybrid_search_rrf": q_hybrid_search,
+        "kg_triangles": q_kg_triangles,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
@@ -1973,6 +2000,49 @@ def oracle_sql() -> dict[str, str]:
     from rdf_knowledge_extractor_spark.operators.search import bm25_oracle_sql
 
     qm["corpus_bm25"] = bm25_oracle_sql(BM25_QUERIES, k=10)
+
+    qm["kg_triangles"] = """
+        WITH ids AS (SELECT doc_id FROM documents),
+        mx AS (SELECT max(doc_id) AS m FROM ids),
+        edges AS (
+          SELECT doc_id AS s, doc_id + o AS d
+          FROM ids, (VALUES (1), (2), (7)) AS t(o), mx
+          WHERE doc_id + o <= mx.m
+        ),
+        und AS (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM edges WHERE s <> d
+        ),
+        deg AS (
+          SELECT node, count(*) AS deg
+          FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY node
+        ),
+        o AS (
+          SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                      THEN u.a ELSE u.b END AS u,
+                 CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                      THEN u.b ELSE u.a END AS v,
+                 CASE WHEN (da.deg, u.a) < (db.deg, u.b)
+                      THEN db.deg ELSE da.deg END AS vdeg
+          FROM und u
+          JOIN deg da ON da.node = u.a
+          JOIN deg db ON db.node = u.b
+        ),
+        tri AS (
+          SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM o e1
+          JOIN o e2 ON e1.u = e2.u AND (e1.vdeg, e1.v) < (e2.vdeg, e2.v)
+          JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        corners AS (
+          SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    """
 
     _probe_case = " ".join(
         f"WHEN {vid} THEN '{qid}'" for qid, vid in HYBRID_PROBES.items()
