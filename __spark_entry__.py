@@ -1093,6 +1093,17 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_retention(spark, sf):
+    """Cohort retention grid (round-5 analytics op): first-activity
+    cohorts x day offsets, one user-keyed shuffle + grid aggregate +
+    broadcast cohort sizes (operators/funnel.py::cohort_retention)."""
+    from rdf_knowledge_extractor_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    return cohort_retention(_events(spark, sf))
+
+
 def q_events_hourly(spark, sf):
     return (
         _events(spark, sf)
@@ -1288,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": q_corpus_weighted_sample,
         "kg_pagerank": q_kg_pagerank,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2207,6 +2219,27 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    qm["events_retention"] = """
+        WITH activity AS (
+          SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+          FROM events
+        ),
+        first AS (SELECT u, min(day) AS cohort FROM activity GROUP BY u),
+        grid AS (
+          SELECT f.cohort, datediff('day', f.cohort, a.day) AS day_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+          FROM activity a JOIN first f USING (u)
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort, CAST(count(*) AS DOUBLE) AS sz
+          FROM first GROUP BY cohort
+        )
+        SELECT CAST(CAST(g.cohort AS DATE) AS VARCHAR) AS cohort_day,
+               CAST(g.day_offset AS INT) AS day_offset, g.n_active,
+               round(g.n_active / s.sz, 4) AS retention
+        FROM grid g JOIN sizes s USING (cohort)
+    """
     qm["events_funnel"] = """
         WITH ev AS (SELECT * FROM events WHERE value > 120.0),
         s1 AS (

@@ -103,6 +103,49 @@ def funnel_depths(
     )
 
 
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, n_active, retention) — classic cohort
+    retention grid: users are cohorted by their first-activity day;
+    each cell counts the cohort's users active `day_offset` days
+    later, with `retention` the fraction of the cohort (4 dp).
+
+    Scale shape: ONE user-keyed shuffle serves both the first-touch
+    aggregate and the distinct (user, day) activity set; the two are
+    then joined on the same user key (co-partitioned, no extra
+    exchange), collapsed to the (cohort, offset) grid with a
+    map-side-combined count — activity is already distinct per
+    (user, day), so no count-distinct expand is needed — and cohort
+    sizes ride back in as a broadcast (one row per cohort day)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    activity = (
+        events.select(F.col(user_col).alias("_u"), day.alias("_day"))
+        .distinct()
+    )
+    first = activity.groupBy("_u").agg(F.min("_day").alias("_cohort"))
+    grid = (
+        activity.join(first, on="_u")
+        .select(
+            "_cohort",
+            F.datediff(F.col("_day"), F.col("_cohort")).alias("day_offset"),
+        )
+        .groupBy("_cohort", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("double").alias("_size")
+    )
+    return grid.join(F.broadcast(sizes), on="_cohort").select(
+        F.col("_cohort").cast("date").cast("string").alias("cohort_day"),
+        "day_offset",
+        "n_active",
+        F.round(F.col("n_active") / F.col("_size"), 4).alias("retention"),
+    )
+
+
 def funnel_report(
     events: DataFrame,
     steps: list[str],

@@ -72,6 +72,35 @@ def test_funnel_max_gap_first_touch(spark):
     assert got == {1: 2, 2: 1, 3: 1}
 
 
+def test_cohort_retention_closed_form(spark):
+    from rdf_knowledge_extractor_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    day = lambda d, h=0: dt.datetime(2025, 1, d, h)
+    df = spark.createDataFrame(
+        [
+            # cohort Jan 1: users 1, 2; user 1 returns d1 and d2,
+            # user 2 returns d2 only; double events same day collapse
+            (1, day(1)), (1, day(1, 5)), (1, day(2)), (1, day(3)),
+            (2, day(1)), (2, day(3)),
+            # cohort Jan 2: user 3, never returns
+            (3, day(2)),
+        ],
+        ["user_id", "ts"],
+    )
+    got = {
+        (r.cohort_day, r.day_offset): (r.n_active, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2025-01-01", 0): (2, 1.0),
+        ("2025-01-01", 1): (1, 0.5),
+        ("2025-01-01", 2): (2, 1.0),
+        ("2025-01-02", 0): (1, 1.0),
+    }
+
+
 def test_funnel_validates_steps(spark):
     df = _ev(spark, [(1, 1, "view")])
     with pytest.raises(ValueError):
