@@ -808,6 +808,51 @@ def q_corpus_domains(spark, sf):
     return domain_report(_docs_with_urls(spark, sf))
 
 
+def q_corpus_url_canon(spark, sf):
+    """URL canonicalization (round-5 web-curation op): scheme/host
+    case, userinfo, default ports, fragments, tracking params, param
+    order, and trailing slashes all normalized at scan speed; the
+    synthetic messy URLs are built with the SAME case arms in the
+    oracle (operators/domains.py::canonical_url)."""
+    from rdf_knowledge_extractor_spark.operators.domains import (
+        canonical_url,
+        registrable_domain,
+    )
+
+    d = _docs(spark, sf)
+    m = d.doc_id % 4
+    sid = F.concat(d.source, (d.doc_id % 9).cast("string"))
+    messy = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://User@"), sid,
+                F.lit(".COM:443/p/"), d.doc_id.cast("string"),
+                F.lit("/?utm_source=x&b=2&a=1#f"),
+            ),
+        )
+        .when(m == 1, F.concat(F.lit("http://"), sid, F.lit(".com:80/")))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("http://"), sid, F.lit(".org:8080/x/"),
+                d.doc_id.cast("string"), F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), sid, F.lit(".co.uk/a?z=1&gclid=g&y=2")
+            )
+        )
+    )
+    canon = canonical_url(messy)
+    return d.select(
+        "doc_id",
+        canon.alias("url_canon"),
+        registrable_domain(canon).alias("domain"),
+    )
+
+
 def q_corpus_bm25(spark, sf):
     """BM25 top-10 retrieval for three fixed queries (round-5
     training-data op): one corpus-sized postings shuffle, broadcast
@@ -1289,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe": q_corpus_bpe,
         "hybrid_search_rrf": q_hybrid_search,
         "kg_triangles": q_kg_triangles,
+        "corpus_url_canon": q_corpus_url_canon,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
@@ -2100,8 +2146,31 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from rdf_knowledge_extractor_spark.operators.domains import (
+        canonical_url_sql,
         registrable_domain_sql,
     )
+
+    _messy = (
+        "CASE doc_id % 4"
+        " WHEN 0 THEN 'HTTPS://User@' || source"
+        "   || CAST(doc_id % 9 AS VARCHAR) || '.COM:443/p/'"
+        "   || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1#f'"
+        " WHEN 1 THEN 'http://' || source || CAST(doc_id % 9 AS VARCHAR)"
+        "   || '.com:80/'"
+        " WHEN 2 THEN 'http://' || source || CAST(doc_id % 9 AS VARCHAR)"
+        "   || '.org:8080/x/' || CAST(doc_id AS VARCHAR) || '/'"
+        " ELSE 'https://' || source || CAST(doc_id % 9 AS VARCHAR)"
+        "   || '.co.uk/a?z=1&gclid=g&y=2' END"
+    )
+    qm["corpus_url_canon"] = f"""
+        WITH c AS (
+          SELECT doc_id, {canonical_url_sql(_messy)} AS url_canon
+          FROM documents
+        )
+        SELECT doc_id, url_canon,
+               {registrable_domain_sql('url_canon')} AS domain
+        FROM c
+    """
 
     _url_synth = (
         "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END"

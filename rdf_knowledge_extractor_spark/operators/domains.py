@@ -119,6 +119,97 @@ def filter_domains(
     return out.drop("_dom")
 
 
+# query parameters dropped during canonicalization (tracking noise)
+TRACKING_PARAM_PREFIXES = ("utm_", "gclid", "fbclid", "msclkid", "mc_eid")
+
+
+def canonical_url(url_col) -> F.Column:
+    """Canonical form of a URL for exact-dedup keys — the classic
+    web-crawl normalization, all pure Catalyst at scan speed:
+
+    - scheme and host lowercased; userinfo dropped;
+    - default ports stripped (http:80, https:443), others kept;
+    - fragment dropped;
+    - tracking query params dropped (utm_*, gclid, fbclid, …),
+      remaining params sorted for order-insensitivity;
+    - trailing slash stripped from non-root paths; empty path → '/'.
+
+    Unparseable input (no scheme://host) canonicalizes to ''."""
+    scheme = F.lower(
+        F.regexp_extract(url_col, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1)
+    )
+    authority = F.regexp_extract(url_col, r"^[^:]*://([^/?#]*)", 1)
+    hostport = F.regexp_replace(authority, r"^[^@]*@", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(url_col, r"^[^:]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(url_col, r"\?([^#]*)", 1)
+    def _keep(p):
+        cond = p != ""
+        for t in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~p.startswith(t)
+        return cond
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    qs = F.concat_ws("&", params)
+    return F.when(
+        (scheme == "") | (host == ""), F.lit("")
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
+    )
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB twin of `canonical_url` — same regexes, same tracking
+    table, same rebuild, so oracle runs compare semantics."""
+    scheme = f"lower(regexp_extract({url_expr}, '^([a-zA-Z][a-zA-Z0-9+.\\-]*)://', 1))"
+    authority = f"regexp_extract({url_expr}, '^[^:]*://([^/?#]*)', 1)"
+    hostport = f"regexp_replace({authority}, '^[^@]*@', '')"
+    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    keep_port = (
+        f"({port} <> '' AND NOT ({scheme} = 'http' AND {port} = '80')"
+        f" AND NOT ({scheme} = 'https' AND {port} = '443'))"
+    )
+    raw_path = f"regexp_extract({url_expr}, '^[^:]*://[^/?#]*([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN {raw_path} = '' THEN '/' "
+        f"ELSE regexp_replace({raw_path}, '(.)/$', '\\1') END"
+    )
+    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    not_tracking = " AND ".join(
+        f"NOT starts_with(p, '{t}')" for t in TRACKING_PARAM_PREFIXES
+    )
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND {not_tracking}))"
+    )
+    qs = f"array_to_string({params}, '&')"
+    return f"""CASE WHEN {scheme} = '' OR {host} = '' THEN ''
+      ELSE {scheme} || '://' || {host}
+           || CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END
+           || {path}
+           || CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END
+      END"""
+
+
 def registrable_domain_sql(url_expr: str) -> str:
     """DuckDB twin of `registrable_domain` over a URL expression —
     the exact same host regex, suffix table, and IP passthrough, so

@@ -76,6 +76,50 @@ def test_filter_domains_block_allow(spark):
         filter_domains(d)
 
 
+CANON_CASES = [
+    (
+        "HTTPS://User:pw@Example.COM:443/a/b/?b=2&utm_source=x&a=1#frag",
+        "https://example.com/a/b?a=1&b=2",
+    ),
+    ("http://example.com:80/", "http://example.com/"),
+    ("http://example.com:8080/x/", "http://example.com:8080/x"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/?gclid=abc&fbclid=z", "https://example.com/"),
+    ("not a url", ""),
+    (
+        "https://example.com/a//b/?z=1&y=2&y=1",
+        "https://example.com/a//b?y=1&y=2&z=1",
+    ),
+]
+
+
+def test_canonical_url_cases(spark):
+    from rdf_knowledge_extractor_spark.operators.domains import canonical_url
+
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], ["url"])
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonical_url_idempotent_and_dedups(spark):
+    from rdf_knowledge_extractor_spark.operators.domains import canonical_url
+
+    variants = [
+        "https://Example.com/page?a=1&utm_campaign=x",
+        "HTTPS://example.com:443/page/?a=1",
+        "https://u@example.com/page?utm_source=s&a=1#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    canon = df.select(canonical_url(F.col("url")).alias("c"))
+    vals = {r.c for r in canon.collect()}
+    assert vals == {"https://example.com/page?a=1"}
+    # canonicalizing a canonical URL is a fixpoint
+    twice = canon.select(canonical_url(F.col("c")).alias("c2")).collect()
+    assert {r.c2 for r in twice} == vals
+
+
 def test_filter_plan_is_broadcast_no_extra_shuffle(spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
