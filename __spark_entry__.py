@@ -1138,6 +1138,21 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_profile(spark, sf):
+    """Per-column profile of the events table (round-5 data-profiling
+    op): ONE pass — Catalyst fuses the multi-count-distinct into a
+    single Expand + two-level aggregate — then a k-row driver-side
+    unpivot (operators/profile.py)."""
+    from rdf_knowledge_extractor_spark.operators.profile import (
+        table_profile,
+    )
+
+    return table_profile(
+        _events(spark, sf),
+        ["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+
 def q_events_retention(spark, sf):
     """Cohort retention grid (round-5 analytics op): first-activity
     cohorts x day offsets, one user-keyed shuffle + grid aggregate +
@@ -1346,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_profile": q_events_profile,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2288,6 +2304,15 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    _prof_cols = ["event_id", "user_id", "event_type", "value", "props"]
+    qm["events_profile"] = " UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM events"""
+        for c in _prof_cols
+    )
     qm["events_retention"] = """
         WITH activity AS (
           SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
