@@ -889,6 +889,29 @@ def q_kg_triangles(spark, sf):
     return triangle_counts(edges)
 
 
+def q_kg_clustering(spark, sf):
+    """Local clustering coefficient per node over the same chord
+    graph (round-5 graph-analytics op): triangle counts + one degree
+    aggregate + node-keyed join (operators/triangles.py)."""
+    from rdf_knowledge_extractor_spark.operators.triangles import (
+        clustering_coefficient,
+    )
+
+    d = _docs(spark, sf).select("doc_id")
+    mx = d.agg(F.max("doc_id").alias("_m"))
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(7))).alias("_o"),
+        )
+        .withColumn("dst", F.col("src") + F.col("_o"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("dst") <= F.col("_m"))
+        .select("src", "dst")
+    )
+    return clustering_coefficient(edges)
+
+
 HYBRID_PROBES = {"q_scan": 11, "q_hash": 42, "q_agg": 99}
 
 
@@ -1350,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search,
         "kg_triangles": q_kg_triangles,
         "corpus_url_canon": q_corpus_url_canon,
+        "kg_clustering": q_kg_clustering,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
@@ -2075,8 +2099,8 @@ def oracle_sql() -> dict[str, str]:
 
     qm["corpus_bm25"] = bm25_oracle_sql(BM25_QUERIES, k=10)
 
-    qm["kg_triangles"] = """
-        WITH ids AS (SELECT doc_id FROM documents),
+    _tri_ctes = """
+        ids AS (SELECT doc_id FROM documents),
         mx AS (SELECT max(doc_id) AS m FROM ids),
         edges AS (
           SELECT doc_id AS s, doc_id + o AS d
@@ -2113,9 +2137,24 @@ def oracle_sql() -> dict[str, str]:
           SELECT x AS node FROM tri
           UNION ALL SELECT y FROM tri
           UNION ALL SELECT z FROM tri
-        )
-        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-        FROM corners GROUP BY node
+        ),
+        tcount AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM corners GROUP BY node
+        )"""
+    qm["kg_triangles"] = f"""
+        WITH {_tri_ctes}
+        SELECT node, n_triangles FROM tcount
+    """
+    qm["kg_clustering"] = f"""
+        WITH {_tri_ctes}
+        SELECT d.node, d.deg AS degree,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN d.deg >= 2
+                 THEN 2.0 * coalesce(t.n_triangles, 0)
+                      / (d.deg * (d.deg - 1.0))
+                 ELSE 0.0 END, 6) AS coeff
+        FROM deg d LEFT JOIN tcount t USING (node)
     """
 
     _probe_case = " ".join(

@@ -64,6 +64,26 @@ def test_hub_wedges_stay_on_low_degree_side(spark):
     assert {r.x, r.y} == {0, 1}
 
 
+def test_clustering_coefficient_closed_form(spark):
+    from rdf_knowledge_extractor_spark.operators.triangles import (
+        clustering_coefficient,
+    )
+
+    # triangle 1-2-3 plus pendant 3-4: node 3 has deg 3, 1 triangle
+    # -> coeff 2*1/(3*2) = 1/3; node 4 deg 1 -> 0
+    e = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    got = {
+        r.node: (r.degree, r.n_triangles, r.coeff)
+        for r in clustering_coefficient(_edges(spark, e)).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, round(1 / 3, 6)),
+        4: (1, 0, 0.0),
+    }
+
+
 def test_plan_no_cartesian(spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
