@@ -1,21 +1,36 @@
 """End-to-end training-data curation over a documents table.
 
 Chains the corpus operators the way a 100-TB pretraining pipeline
-would: per-language quality gate -> near-dup removal -> benchmark
-decontamination -> PII redaction -> source mixing -> deterministic
-splits -> sequence packing.  Run against the driver-generated parquet:
+would: URL canonicalization + domain blocklist -> per-language
+quality gate -> near-dup removal -> benchmark decontamination -> PII
+redaction -> source mixing -> deterministic splits -> BPE tokenizer
+training + sequence packing.  Run against the driver-generated
+parquet:
 
     python examples/training_data_pipeline.py /root/testdata/sf0.01
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from functools import reduce
 
-from pyspark.sql import functions as F
+# runnable as `python examples/training_data_pipeline.py` — the
+# package resolves from the repo root, not the script directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F
 
 from rdf_knowledge_extractor_spark.session import get_spark
+from rdf_knowledge_extractor_spark.operators.bpe import (
+    bpe_encode,
+    train_bpe,
+)
+from rdf_knowledge_extractor_spark.operators.domains import (
+    canonical_url,
+    filter_domains,
+)
 from rdf_knowledge_extractor_spark.operators.curation import curate_corpus
 from rdf_knowledge_extractor_spark.operators.textdedup import (
     minhash_lsh_pairs,
@@ -34,6 +49,25 @@ RECIPE = {"en": 0.5, "de": 0.2, "fr": 0.3}
 def main(sf_dir: str) -> None:
     spark = get_spark(app_name="training-data-pipeline")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 0. web hygiene: canonicalize the (synthetic) source URLs, drop
+    #    blocklisted domains, and dedup exact canonical-URL repeats
+    docs = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"), F.col("source"),
+            (F.col("doc_id") % 31).cast("string"),
+            F.lit(".example.COM/p/"), F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=crawl"),
+        ),
+    ).withColumn("url", canonical_url(F.col("url")))
+    docs = filter_domains(docs, blocklist=["spam.example.com"])
+    w_url = Window.partitionBy("url").orderBy("doc_id")
+    docs = (
+        docs.withColumn("_rn", F.row_number().over(w_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
     # 1. per-language quality gate (dedup keep-first + langid +
     #    length/digit/quality thresholds); the gate emits a manifest,
@@ -68,12 +102,20 @@ def main(sf_dir: str) -> None:
     # 6. reproducible train/val/test assignment
     split = assign_splits(mixed)
 
-    # 7. pack the train split into fixed-token-budget sequences
+    # 7. train a BPE tokenizer on the train split and encode it
     train = split.filter(F.col("split") == "train")
+    merges = train_bpe(train, n_merges=50)
+    encoded = bpe_encode(train, merges)
+
+    # 8. pack the train split into fixed-token-budget sequences
     packed = pack_sequences_binned(train, max_tokens=256)
 
     print("contaminated docs:", contamination.count())
-    for name, df in [("mixed", mixed), ("splits", split), ("packed", packed)]:
+    print("bpe merges:", len(merges))
+    for name, df in [
+        ("mixed", mixed), ("splits", split),
+        ("encoded", encoded), ("packed", packed),
+    ]:
         print(name, df.count())
     packed.show(5, truncate=60)
     spark.stop()
