@@ -1161,6 +1161,18 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_scd2(spark, sf):
+    """SCD type-2 validity intervals per user over the event-type
+    stream (round-5 warehouse op): one key-partitioned window pass —
+    null-safe change detection via lag, valid_to via lead, no
+    self-join (operators/scd.py)."""
+    from rdf_knowledge_extractor_spark.operators.scd import scd2_intervals
+
+    return scd2_intervals(
+        _events(spark, sf), ["user_id"], "ts", ["event_type"]
+    )
+
+
 def q_events_profile(spark, sf):
     """Per-column profile of the events table (round-5 data-profiling
     op): ONE pass — Catalyst fuses the multi-count-distinct into a
@@ -1386,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_profile": q_events_profile,
+        "events_scd2": q_events_scd2,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2343,6 +2356,24 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    qm["events_scd2"] = """
+        WITH base AS (
+          SELECT user_id, ts AS valid_from, event_type FROM events
+        ),
+        m AS (
+          SELECT *, lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY valid_from) AS prev
+          FROM base
+        ),
+        kept AS (
+          SELECT user_id, valid_from, event_type FROM m
+          WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, valid_from, event_type,
+               lead(valid_from) OVER (
+                 PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        FROM kept
+    """
     _prof_cols = ["event_id", "user_id", "event_type", "value", "props"]
     qm["events_profile"] = " UNION ALL ".join(
         f"""SELECT '{c}' AS col_name,
