@@ -75,6 +75,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — top-k BM25 hits per query.
 
@@ -82,7 +83,15 @@ def bm25_topk(
     (standard bag-of-words BM25 with binary query term frequency).
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the Robertson/Lucene
     non-negative form.  Docs containing no query term never surface
-    (score would be 0)."""
+    (score would be 0).
+
+    `max_df_ratio` is the 100-TB skew guard: a query term appearing
+    in more than that fraction of documents ("the", boilerplate
+    tokens) is elided from scoring — such terms contribute near-zero
+    idf but would drag a corpus-sized postings sliver through the
+    score aggregate and concentrate it on one query's tasks.  The
+    filter keys off the already-tiny per-term dfreq frame, so the cut
+    happens before the heavy rows move."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not queries:
@@ -111,6 +120,14 @@ def bm25_topk(
     dfreq = hits.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
+    if max_df_ratio is not None:
+        if not 0.0 < max_df_ratio <= 1.0:
+            raise ValueError(
+                f"max_df_ratio must be in (0, 1], got {max_df_ratio}"
+            )
+        dfreq = dfreq.crossJoin(F.broadcast(stats.select("_n"))).filter(
+            F.col("_df") <= F.lit(max_df_ratio) * F.col("_n")
+        ).drop("_n")
     scored = (
         hits.join(F.broadcast(qterms), on="term")
         .join(F.broadcast(dfreq), on="term")

@@ -97,6 +97,28 @@ def test_tokenize_query_twin():
     assert tokenize_query("...") == []
 
 
+def test_bm25_max_df_ratio_elides_ubiquitous_terms(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common filler{'x' * (i % 2)} rare{i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    # 'common' is in 6/6 docs: elided under the guard
+    only_common = bm25_topk(
+        docs, {"q": "common"}, k=3, max_df_ratio=0.5
+    ).collect()
+    assert only_common == []
+    # a mixed query keeps the rare term's contribution
+    mixed = bm25_topk(
+        docs, {"q": "common rare3"}, k=3, max_df_ratio=0.5
+    ).collect()
+    assert [r.doc_id for r in mixed] == [3]
+    # guard off: identical to plain scoring
+    plain = bm25_topk(docs, {"q": "common rare3"}, k=3).collect()
+    assert plain[0].doc_id == 3 and len(plain) == 3
+    with pytest.raises(ValueError):
+        bm25_topk(docs, {"q": "x"}, max_df_ratio=0.0)
+
+
 def test_rrf_fuse_closed_form(spark):
     from rdf_knowledge_extractor_spark.operators.search import rrf_fuse
 
