@@ -912,6 +912,37 @@ def q_kg_clustering(spark, sf):
     return clustering_coefficient(edges)
 
 
+def q_kg_coreness(spark, sf):
+    """Coreness per node over the chord graph (round-5 graph-analytics
+    op): h-index fixpoint iteration — converges to exact core numbers
+    (Lü et al. 2016) with window-based h-index, no neighbor arrays
+    (operators/kcore.py).  Fixpoint loops are not SQL-expressible —
+    NO oracle (rows-only); correctness carried by the
+    independent-Python min-degree-peeling differential
+    (tests/test_kcore.py).  The synthetic graph uses pseudo-random
+    modular edges (expander-like, small diameter) rather than the
+    ring-chord graph: h-index rounds track diameter, and the ring is
+    the documented pathological input."""
+    from rdf_knowledge_extractor_spark.operators.kcore import coreness
+
+    d = _docs(spark, sf).select("doc_id")
+    n = d.agg(F.count(F.lit(1)).alias("_n"))
+    edges = (
+        d.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * F.col("doc_id") + 7) % F.col("_n"),
+                    (F.col("doc_id") * 3 + 11) % F.col("_n"),
+                    (F.col("doc_id") * 7 + 1) % F.col("_n"),
+                )
+            ).alias("dst"),
+        )
+    )
+    return coreness(edges, max_iter=60)
+
+
 HYBRID_PROBES = {"q_scan": 11, "q_hash": 42, "q_agg": 99}
 
 
@@ -1386,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "corpus_url_canon": q_corpus_url_canon,
         "kg_clustering": q_kg_clustering,
+        "kg_coreness": q_kg_coreness,
         "corpus_lm_ppl": q_corpus_lm_ppl,
         "corpus_dupspans": q_corpus_dupspans,
         "corpus_mix": q_corpus_mix,
