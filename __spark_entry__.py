@@ -1192,6 +1192,25 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_outliers(spark, sf):
+    """Robust per-type outlier events (round-5 data-quality op):
+    modified z-score on median/MAD — two grouped percentile passes +
+    broadcast constants (operators/profile.py::robust_outliers);
+    `exact=True` arm hash-matches DuckDB median."""
+    from rdf_knowledge_extractor_spark.operators.profile import (
+        robust_outliers,
+    )
+
+    return robust_outliers(
+        _events(spark, sf),
+        value_col="value",
+        group_col="event_type",
+        id_col="event_id",
+        z=3.5,
+        exact=True,
+    )
+
+
 def q_events_scd2(spark, sf):
     """SCD type-2 validity intervals per user over the event-type
     stream (round-5 warehouse op): one key-partitioned window pass —
@@ -1431,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_profile": q_events_profile,
         "events_scd2": q_events_scd2,
+        "events_outliers": q_events_outliers,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2388,6 +2408,23 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    qm["events_outliers"] = """
+        WITH med AS (
+          SELECT event_type, median(value) AS m FROM events GROUP BY 1
+        ),
+        dev AS (
+          SELECT e.event_id, e.event_type, e.value,
+                 abs(e.value - med.m) AS adev
+          FROM events e JOIN med USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               round(0.6745 * d.adev / mad.mad, 4) AS robust_z
+        FROM dev d JOIN mad USING (event_type)
+        WHERE mad.mad > 0 AND round(0.6745 * d.adev / mad.mad, 4) > 3.5
+    """
     qm["events_scd2"] = """
         WITH base AS (
           SELECT user_id, ts AS valid_from, event_type FROM events

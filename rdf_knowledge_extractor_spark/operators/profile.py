@@ -23,6 +23,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    z: float = 3.5,
+    exact: bool = False,
+) -> DataFrame:
+    """(id, group, value, robust_z) — rows whose modified z-score
+    |0.6745·(v − median)| / MAD exceeds `z` within their group
+    (Iglewicz–Hoaglin).  Median/MAD resist the very outliers they
+    hunt, unlike mean/stddev.  Groups with MAD = 0 flag nothing
+    (degenerate constant groups).
+
+    Scale shape: two grouped percentile passes (value median, then
+    MAD as the median of absolute deviations) — `exact=False` (the
+    100-TB default) uses `approx_percentile`, constant memory per
+    group; `exact=True` buffers per group and hash-matches DuckDB's
+    `median`.  The per-group constants (≤ |groups| rows) ride back
+    as broadcast joins, so the corpus is scanned twice and never
+    re-shuffled."""
+    pct = (
+        (lambda c: F.expr(f"percentile({c}, 0.5)"))
+        if exact
+        else (lambda c: F.expr(f"approx_percentile({c}, 0.5, 10000)"))
+    )
+    med = df.groupBy(group_col).agg(pct(value_col).alias("_med"))
+    dev = df.join(F.broadcast(med), on=group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(pct("_adev").alias("_mad"))
+    return (
+        dev.join(F.broadcast(mad), on=group_col)
+        .withColumn(
+            "robust_z",
+            F.round(
+                0.6745 * F.col("_adev") / F.col("_mad"), 4
+            ),
+        )
+        .filter((F.col("_mad") > 0) & (F.col("robust_z") > z))
+        .select(id_col, group_col, value_col, "robust_z")
+    )
+
+
 def table_profile(
     df: DataFrame,
     columns: list[str] | None = None,

@@ -58,6 +58,27 @@ def test_profile_approx_arm_no_expand(spark):
     assert "Expand" not in plan(approx)  # HLL needs no row replication
 
 
+def test_robust_outliers_closed_form(spark):
+    from rdf_knowledge_extractor_spark.operators.profile import (
+        robust_outliers,
+    )
+
+    rows = [(i, "a", 10.0) for i in range(9)] + [
+        (9, "a", 1000.0),        # the outlier
+        (10, "b", 5.0), (11, "b", 5.0),  # MAD=0 group: never flags
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = robust_outliers(
+        df, "value", "event_type", "event_id", z=3.5, exact=True
+    ).collect()
+    assert [(r.event_id, r.event_type) for r in got] == [(9, "a")]
+    # approx arm finds the same outlier on this tiny input
+    approx = robust_outliers(
+        df, "value", "event_type", "event_id", z=3.5, exact=False
+    ).collect()
+    assert [(r.event_id) for r in approx] == [9]
+
+
 def test_profile_scans_table_once(spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
