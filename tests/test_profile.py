@@ -63,9 +63,11 @@ def test_robust_outliers_closed_form(spark):
         robust_outliers,
     )
 
-    rows = [(i, "a", 10.0) for i in range(9)] + [
+    # group a: values 1..9 (median 5.5 with the outlier, MAD 2.5) +
+    # one extreme point; group b is constant -> MAD 0, never flags
+    rows = [(i, "a", float(i + 1)) for i in range(9)] + [
         (9, "a", 1000.0),        # the outlier
-        (10, "b", 5.0), (11, "b", 5.0),  # MAD=0 group: never flags
+        (10, "b", 5.0), (11, "b", 5.0),
     ]
     df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
     got = robust_outliers(
