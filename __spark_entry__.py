@@ -533,6 +533,31 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(_docs(spark, sf), k=9, threshold=0.8)
 
 
+def q_dedup_survivors(spark, sf):
+    """End-to-end near-dup dedup materialization (round-5 op):
+    Jaccard pairs → connected components (min-id label) → keep each
+    cluster's representative plus all untouched docs.  The oracle
+    recomputes the clusters with a recursive closure CTE — a
+    genuinely different algorithm from the large/small-star loop
+    (operators/textdedup.py + operators/components.py)."""
+    from rdf_knowledge_extractor_spark.operators.components import (
+        connected_components,
+    )
+    from rdf_knowledge_extractor_spark.operators.textdedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf)
+    pairs = ngram_jaccard_pairs(docs, k=9, threshold=0.8)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     from rdf_knowledge_extractor_spark.operators.textdedup import minhash_lsh_pairs
 
@@ -1404,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_mapping": q_kg_link_mapping,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2664,6 +2690,46 @@ def oracle_sql() -> dict[str, str]:
     # minhash-LSH verified output equals the exact-Jaccard answer
     # (candidate recall ≈ 1 - 1e-35 at J ≥ 0.9 with 32 bands × 2 rows)
     qm["dedup_minhash_lsh"] = qm["dedup_ngram_jaccard"]
+    # survivors: same pair derivation, clusters via RECURSIVE closure
+    # (different algorithm from the engine's large/small-star loop)
+    qm["dedup_survivors"] = """
+        WITH RECURSIVE sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, greatest(len(text) - 8, 1)),
+                                       i -> substr(text, i, 9))) AS g
+          FROM documents
+        ),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE c * 1.0 / (ca.n + cb.n - c) >= 0.8
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach (a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        comp AS (
+          SELECT a AS node, least(a, min(b)) AS component
+          FROM reach GROUP BY a
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT node FROM comp WHERE node <> component
+        )
+    """
     # exhaustive ANN variants provably equal brute force (full-probe
     # IVF / zero-plane LSH), so they share the brute-force oracle
     qm["ann_ivf_fullprobe"] = qm["ann_cosine_topk"]
