@@ -1217,6 +1217,18 @@ def q_events_funnel(spark, sf):
     )
 
 
+def q_events_rolling_dau(spark, sf):
+    """Daily actives + trailing 7-day distinct users (round-5
+    analytics op): explode-by-offset exact rolling distincts — w× the
+    deduped activity sliver, never the corpus
+    (operators/funnel.py::rolling_unique_users)."""
+    from rdf_knowledge_extractor_spark.operators.funnel import (
+        rolling_unique_users,
+    )
+
+    return rolling_unique_users(_events(spark, sf), window_days=7)
+
+
 def q_events_outliers(spark, sf):
     """Robust per-type outlier events (round-5 data-quality op):
     modified z-score on median/MAD — two grouped percentile passes +
@@ -1477,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_profile": q_events_profile,
         "events_scd2": q_events_scd2,
         "events_outliers": q_events_outliers,
+        "events_rolling_dau": q_events_rolling_dau,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2434,6 +2447,25 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    qm["events_rolling_dau"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        ),
+        dau AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY day
+        ),
+        mx AS (SELECT max(day) AS m FROM act),
+        win AS (
+          SELECT a.u, a.day + CAST(k.k AS INT) AS wd
+          FROM act a, (SELECT unnest(generate_series(0, 6)) AS k) k
+        ),
+        roll AS (
+          SELECT wd, CAST(count(DISTINCT u) AS BIGINT) AS uniques_w
+          FROM win, mx WHERE wd <= mx.m GROUP BY wd
+        )
+        SELECT CAST(d.day AS VARCHAR) AS day, d.dau, r.uniques_w
+        FROM dau d JOIN roll r ON r.wd = d.day
+    """
     qm["events_outliers"] = """
         WITH med AS (
           SELECT event_type, median(value) AS m FROM events GROUP BY 1

@@ -146,6 +146,52 @@ def cohort_retention(
     )
 
 
+def rolling_unique_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, dau, uniques_w) — daily active users plus the trailing
+    `window_days`-day distinct-user count ending each day.
+
+    Rolling DISTINCTS cannot be summed from daily counts, and a
+    range join (activity × day grid) rebuilds the fact table per
+    window day.  The scalable exact shape instead EXPLODES each
+    (user, day) activity row into the `window_days` windows it
+    belongs to (day … day+w-1) — w× the deduped activity sliver, not
+    w× the corpus — then one count-distinct aggregate per window day.
+    Windows are truncated at the data's last day (no phantom trailing
+    windows); leading windows are naturally partial, the standard
+    dashboard convention."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    act = events.select(
+        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_day")
+    ).distinct()
+    dau = act.groupBy("_day").agg(F.count(F.lit(1)).alias("dau"))
+    mx = act.agg(F.max("_day").alias("_mx"))
+    rolled = (
+        act.select(
+            "_u",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window_days - 1))
+            ).alias("_k"),
+            "_day",
+        )
+        .select("_u", F.date_add(F.col("_day"), F.col("_k")).alias("_wd"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("_wd") <= F.col("_mx"))
+        .groupBy("_wd")
+        .agg(F.count_distinct("_u").alias("uniques_w"))
+    )
+    return dau.join(rolled, dau["_day"] == rolled["_wd"]).select(
+        F.col("_day").cast("string").alias("day"),
+        "dau",
+        "uniques_w",
+    )
+
+
 def funnel_report(
     events: DataFrame,
     steps: list[str],

@@ -101,6 +101,36 @@ def test_cohort_retention_closed_form(spark):
     }
 
 
+def test_rolling_unique_users_closed_form(spark):
+    from rdf_knowledge_extractor_spark.operators.funnel import (
+        rolling_unique_users,
+    )
+
+    day = lambda d: dt.datetime(2025, 1, d)
+    df = spark.createDataFrame(
+        [
+            (1, day(1)), (2, day(1)),
+            (1, day(2)),               # user 1 repeats
+            (3, day(4)),
+        ],
+        ["user_id", "ts"],
+    )
+    got = {
+        r.day: (r.dau, r.uniques_w)
+        for r in rolling_unique_users(df, window_days=3).collect()
+    }
+    # 3-day windows: d1={1,2}; d2={1,2}+{1}; d3=d1..d3={1,2};
+    # d4 covers d2..d4={1,3}; no rows for inactive window-only days?
+    # -> only days with dau appear (join on dau days)
+    assert got == {
+        "2025-01-01": (2, 2),
+        "2025-01-02": (1, 2),
+        "2025-01-04": (1, 2),
+    }
+    with pytest.raises(ValueError):
+        rolling_unique_users(df, window_days=0)
+
+
 def test_funnel_validates_steps(spark):
     df = _ev(spark, [(1, 1, "view")])
     with pytest.raises(ValueError):
