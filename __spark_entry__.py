@@ -888,6 +888,42 @@ def q_corpus_bm25(spark, sf):
     return bm25_topk(_docs(spark, sf), BM25_QUERIES, k=10)
 
 
+def q_corpus_links(spark, sf):
+    """Hyperlink extraction through the real WHATWG parser over
+    deterministically synthesized linky HTML (round-5 web op): the
+    oracle extracts the same links by regex — fair on this
+    well-formed corpus, while the parser also survives the messy-web
+    cases covered in tests/test_links.py (functions/links.py)."""
+    from rdf_knowledge_extractor_spark.functions.links import (
+        with_extracted_links,
+    )
+
+    d = _docs(spark, sf)
+    sid = F.concat(d.source, (d.doc_id % 9).cast("string"))
+    html = F.concat(
+        F.lit("<html><body><p>doc</p><a href=\"https://"),
+        sid,
+        F.lit(".example.com/p/"),
+        d.doc_id.cast("string"),
+        F.lit("\">anchor "),
+        d.doc_id.cast("string"),
+        F.lit("</a>"),
+        F.when(
+            d.doc_id % 3 == 0,
+            F.concat(
+                F.lit("<a href=\"https://hub.example.org/t/"),
+                (d.doc_id % 11).cast("string"),
+                F.lit("\">topic "),
+                (d.doc_id % 11).cast("string"),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(F.col("doc_id"), html.alias("html"))
+    return with_extracted_links(pages, html_col="html", id_col="doc_id")
+
+
 def q_kg_triangles(spark, sf):
     """Per-node triangle counts over a deterministic chord graph on
     the doc ids (round-5 graph-analytics op): degree-ordered
@@ -1490,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2": q_events_scd2,
         "events_outliers": q_events_outliers,
         "events_rolling_dau": q_events_rolling_dau,
+        "corpus_links": q_corpus_links,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2447,6 +2484,29 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    _linky = (
+        "'<html><body><p>doc</p><a href=\"https://' || source"
+        " || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p/'"
+        " || CAST(doc_id AS VARCHAR) || '\">anchor '"
+        " || CAST(doc_id AS VARCHAR) || '</a>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        " '<a href=\"https://hub.example.org/t/'"
+        " || CAST(doc_id % 11 AS VARCHAR) || '\">topic '"
+        " || CAST(doc_id % 11 AS VARCHAR) || '</a>' ELSE '' END"
+        " || '</body></html>'"
+    )
+    qm["corpus_links"] = f"""
+        WITH synth AS (SELECT doc_id, {_linky} AS h FROM documents),
+        ex AS (
+          SELECT doc_id,
+            regexp_extract_all(h, '<a href="([^"]*)">', 1) AS hrefs,
+            regexp_extract_all(h, '<a href="[^"]*">([^<]*)</a>', 1)
+              AS anchors
+          FROM synth
+        )
+        SELECT doc_id, u[1] AS href, u[2] AS anchor
+        FROM ex, unnest(list_zip(hrefs, anchors)) AS t(u)
+    """
     qm["events_rolling_dau"] = """
         WITH act AS (
           SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
