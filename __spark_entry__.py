@@ -1253,6 +1253,25 @@ def q_events_funnel(spark, sf):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf):
+    """Daily × event-type count matrix (round-5 API-surface op):
+    `groupBy(day).pivot(type, values)` with the value list PINNED —
+    passing explicit pivot values skips Spark's extra distinct-scan
+    job and keeps the output schema stable at any scale; compiles to
+    one hash aggregate of CASE expressions (same shape as the
+    oracle's manual CASE columns)."""
+    return (
+        _events(spark, sf)
+        .groupBy(F.to_date("ts").cast("string").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
 def q_events_rolling_dau(spark, sf):
     """Daily actives + trailing 7-day distinct users (round-5
     analytics op): explode-by-offset exact rolling distincts — w× the
@@ -1527,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers": q_events_outliers,
         "events_rolling_dau": q_events_rolling_dau,
         "corpus_links": q_corpus_links,
+        "events_pivot": q_events_pivot,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "events_attribution": q_events_attribution,
@@ -2484,6 +2504,14 @@ def oracle_sql() -> dict[str, str]:
     # evaluation strategy from the engine's sorted greedy fold
     # (greedy-earliest is provably optimal for strict-order funnels,
     # so the two must agree)
+    _pivot_cols = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    qm["events_pivot"] = f"""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, {_pivot_cols}
+        FROM events GROUP BY 1
+    """
     _linky = (
         "'<html><body><p>doc</p><a href=\"https://' || source"
         " || CAST(doc_id % 9 AS VARCHAR) || '.example.com/p/'"
