@@ -47,10 +47,15 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _graph(spark: SparkSession, sf: str) -> DataFrame:
-    """Deduplicated derived triple table (the 'graph')."""
-    from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
+    """Deduplicated derived triple table (the 'graph').
 
-    return first_occurrence_dedup(derive_triples(_docs(spark, sf)))
+    `_spread` lifts single-row-group parquet scans to default
+    parallelism so the derive+partial-aggregate stage is not one task;
+    no-op when the scan already has enough splits (100-TB path)."""
+    from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    return first_occurrence_dedup(derive_triples(_spread(_docs(spark, sf))))
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +116,9 @@ def q_kg_insert_new(spark, sf):
         insert_new_triples,
     )
 
-    t = derive_triples(_docs(spark, sf))
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    t = derive_triples(_spread(_docs(spark, sf)))
     graph = first_occurrence_dedup(t.filter(F.col("doc_seq") % 2 == 0))
     batch = t.filter(F.col("doc_seq") % 2 == 1)
     new_rows, _ = insert_new_triples(graph, batch)
@@ -590,7 +597,7 @@ def q_ann_cosine_topk(spark, sf):
     )
 
     emb = _emb(spark, sf)
-    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5, dim=64)
 
 
 def q_ann_lsh_topk(spark, sf):
@@ -646,8 +653,9 @@ def q_text_langid(spark, sf):
 
 def q_text_quality(spark, sf):
     from rdf_knowledge_extractor_spark.functions.text_analysis import quality_metrics
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
 
-    return quality_metrics(_docs(spark, sf)).select(
+    return quality_metrics(_spread(_docs(spark, sf))).select(
         "doc_id", "n_words", "avg_word_len", "digit_ratio", "stop_ratio", "quality_score"
     )
 

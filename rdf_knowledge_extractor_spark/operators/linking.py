@@ -57,6 +57,24 @@ def entity_universe(triples: DataFrame) -> DataFrame:
     return subs.unionByName(objs).distinct()
 
 
+def key_shingles(key) -> "F.Column":
+    """char-3-gram shingle array of a canonical-key column (the
+    shingles are a pure function of the key — shared by
+    with_canonical_key and the representative fast path in
+    link_entities)."""
+    n = F.length(key)
+    # `substring(col, i, 3)` with a dynamic start needs expr-style substr:
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(2)),
+                lambda i: key.substr(i, F.lit(3)),
+            )
+        ),
+    ).otherwise(F.array(key))
+
+
 def with_canonical_key(entities: DataFrame, uri_col: str = "uri") -> DataFrame:
     """Add `key` (normalized local name) and `shingles` (char 3-grams).
 
@@ -69,18 +87,7 @@ def with_canonical_key(entities: DataFrame, uri_col: str = "uri") -> DataFrame:
     stripped = F.lower(F.regexp_replace(unsuffixed, "[^a-zA-Z0-9]", ""))
     key = F.when(F.length(stripped) >= 3, stripped).otherwise(norm)
     df = entities.withColumn("key", key)
-    n = F.length(F.col("key"))
-    # `substring(col, i, 3)` with a dynamic start needs expr-style substr:
-    shingles = F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(2)),
-                lambda i: F.col("key").substr(i, F.lit(3)),
-            )
-        ),
-    ).otherwise(F.array(F.col("key")))
-    return df.withColumn("shingles", shingles)
+    return df.withColumn("shingles", key_shingles(F.col("key")))
 
 
 def shingle_hash_col(shingles_col):
@@ -108,11 +115,17 @@ def _minhash_band_udf(num_perm: int, bands: int, seed: int = 17):
         0xBF58476D1CE4E5B9
     )
 
-    # shingle budget per vectorized chunk: bounds the (ΣS × P) hash
-    # matrix to ~25 MB of uint64 working set per executor python worker
-    # — many workers run concurrently, so one whole-Arrow-batch matrix
-    # (hundreds of MB × copies × workers) would swap the box
-    _CHUNK_SHINGLES = 50_000
+    # shingle budget per vectorized chunk: sized so the (ΣS × P) hash
+    # matrix (chunk × 64 perms × 8 B ≈ 2 MB) plus its one temp stays
+    # inside a core's slice of shared cache.  The hash computation makes
+    # ~9 full passes over the matrix (multiply, add, three mod-fold
+    # steps, reduceat), so a cache-resident chunk turns those passes
+    # into cache hits instead of DRAM round-trips — measured on this
+    # box: 32 concurrent workers at chunk=50k (25 MB matrix) ran 4×
+    # slower than chunk=4k purely from memory-bandwidth contention
+    # (2.48 s → 0.62 s for the same sketch workload).  Same bound
+    # protects worker RSS under many concurrent python workers.
+    _CHUNK_SHINGLES = 4_000
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bands_of(hashed: pd.Series) -> pd.Series:
@@ -186,11 +199,14 @@ def lsh_candidate_pairs(
     )
 
     bands_of = _minhash_band_udf(num_perm, bands)
-    bucketed = (
-        entities_with_shingles.withColumn(
-            "_bands", bands_of(shingle_hash_col(F.col("shingles")))
-        )
-        .select(uri_col, F.posexplode("_bands").alias("band_idx", "band_val"))
+    # posexplode applied DIRECTLY to the UDF call — the former
+    # withColumn + second-select shape duplicated the sketch UDF into
+    # two stacked ArrowEvalPython nodes (guide §4.4)
+    bucketed = entities_with_shingles.select(
+        uri_col,
+        F.posexplode(bands_of(shingle_hash_col(F.col("shingles")))).alias(
+            "band_idx", "band_val"
+        ),
     )
     # ONE shuffle (groupBy band key) + in-array pair combinations —
     # replaces the former window-count + banded self-join, which
@@ -303,14 +319,13 @@ def link_entities(
 
     # tier 1: key group → min-URI representative
     key_rep = ent.groupBy("key").agg(F.min("uri").alias("rep"))
-    # one entity row per representative (shingles are a function of the
-    # key, so the rep's row carries the group's shingles)
-    reps = (
-        ent.join(key_rep, on="key")
-        .filter(F.col("uri") == F.col("rep"))
-        .select("uri", "key", "shingles")
-        .persist()
-    )
+    # one entity row per representative: shingles are a pure function
+    # of the key, so they are RE-DERIVED from key_rep instead of joined
+    # back against `ent` — drops a whole join (shuffle + filter pass
+    # over the entity table) from the linking critical path
+    reps = key_rep.select(
+        F.col("rep").alias("uri"), "key", key_shingles(F.col("key")).alias("shingles")
+    ).persist()
 
     # tier 2: fuzzy linking over representatives
     pairs, _dropped = lsh_candidate_pairs(

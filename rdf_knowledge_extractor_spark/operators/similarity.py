@@ -42,6 +42,54 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """`_dot` unrolled for a KNOWN dimension: the same 0.0-seeded
+    left-to-right fold (bit-identical IEEE result), but as a flat
+    expression tree that whole-stage codegen compiles — the
+    `aggregate`/`zip_with` higher-order form is interpreted per row
+    and dominated the brute-force scoring stage (guide §4.1: prefer
+    built-ins/codegen over interpreted paths in the hot loop)."""
+    e: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        e = e + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return e
+
+
+def _sqnorm_fixed(a: Column, dim: int) -> Column:
+    """Σx² with `_norm`'s exact fold order (codegen-friendly twin)."""
+    e: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        x = F.element_at(a, i).cast("double")
+        e = e + x * x
+    return e
+
+
+def _norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(_sqnorm_fixed(a, dim))
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """cosine() for a known dim — bit-identical values, codegen path."""
+    return _dot_fixed(a, b, dim) / (_norm_fixed(a, dim) * _norm_fixed(b, dim))
+
+
+def _sim_expr(round_digits: int, dim: int | None,
+              q_vec: str = "q_vec", c_vec: str = "c_vec") -> Column:
+    """Rounded cosine between two joined vector columns.  With a known
+    `dim`, uses the codegen-unrolled fold and the PRE-COMPUTED norm
+    columns (`q_norm`/`c_norm`) the fixed-dim paths attach before the
+    join — each vector's norm is computed once instead of once per
+    compared pair; values are bit-identical (same fold order, same
+    doubles divided)."""
+    if dim is None:
+        return F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits)
+    return F.round(
+        _dot_fixed(F.col(q_vec), F.col(c_vec), dim)
+        / (F.col("q_norm") * F.col("c_norm")),
+        round_digits,
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,19 +97,30 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, sim) — exact top-k per query, excluding
-    self-matches.  The query side is broadcast (small by contract)."""
+    self-matches.  The query side is broadcast (small by contract).
+    Pass `dim` when the embedding width is known: scoring then runs
+    under whole-stage codegen with per-vector norms computed once
+    (identical results, interpreted HOF fold eliminated)."""
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        *([] if dim is None else [_norm_fixed(F.col(vec_col), dim).alias("q_norm")]),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    # a small embeddings table often arrives as ONE parquet row group —
+    # the whole scoring stage (corpus × queries scan-side nested-loop)
+    # would then run in a single task; _spread is a no-op at scale
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        *([] if dim is None else [_norm_fixed(F.col(vec_col), dim).alias("c_norm")]),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits))
+        .withColumn("sim", _sim_expr(round_digits, dim))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -166,8 +225,11 @@ def cosine_pairs_bucketed(
     auto_planes, auto_tables = lsh_params_for_threshold(
         threshold, target_miss, n_planes
     )
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
     n_planes = n_planes or auto_planes
     n_tables = n_tables or auto_tables
+    corpus = _spread(corpus)  # single-row-group scans → 1-task UDF stage
     buckets_of = _hyperplane_buckets_udf(dim, n_planes, n_tables, seed=seed)
     bucketed = corpus.select(
         F.col(id_col).alias("id"),
@@ -181,12 +243,20 @@ def cosine_pairs_bucketed(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-vector norms computed once at the scan (codegen), not per
+    # candidate pair in the interpreted HOF fold — identical doubles
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        _norm_fixed(F.col(vec_col), dim).alias("q_norm"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
+    )
     return (
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .withColumn("sim", _sim_expr(round_digits, dim, "va", "vb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -261,19 +331,24 @@ def ivf_cosine_topk(
     64× reduction with recall tunable via nprobe (recall-vs-bruteforce
     pinned in tests).  The cell column doubles as the natural partition
     key for a materialized index table."""
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
     cents = train_ivf_centroids(
         corpus, dim, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
+    corpus = _spread(corpus)  # single-row-group scans → 1-task UDF stage
     assign1 = _ivf_cells_udf(cents, 1)
     probe = _ivf_cells_udf(cents, nprobe)
     c_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm_fixed(F.col(vec_col), dim).alias("q_norm"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     # no dedup needed (unlike lsh_cosine_topk's multi-table collisions):
@@ -284,9 +359,9 @@ def ivf_cosine_topk(
     cands = (
         q_cells.join(c_cells, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
     )
-    scored = cands.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    scored = cands.withColumn("sim", _sim_expr(4, dim))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -308,24 +383,28 @@ def lsh_cosine_topk(
     """Approximate top-k: `n_tables` independent sign-LSH bucketings;
     candidates = bucket collisions in any table; exact re-rank.
     Recall tunable via n_planes (bucket size) × n_tables."""
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
     buckets_of = _hyperplane_buckets_udf(dim, n_planes, n_tables, seed=101)
-    c_buck = corpus.select(
+    c_buck = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
         F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
     )
     q_buck = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm_fixed(F.col(vec_col), dim).alias("q_norm"),
         F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
     )
     cands = (
         q_buck.join(c_buck, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.withColumn("sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    scored = cands.withColumn("sim", _sim_expr(4, dim))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("_rn", F.row_number().over(w))

@@ -251,8 +251,10 @@ def ngram_jaccard_pairs(
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    # candidate side broadcast — see minhash_lsh_pairs: keeps the
+    # shingle table out of the verify join's shuffles
     out = (
-        cands.join(sa, on="id_a")
+        F.broadcast(F.broadcast(cands).join(sa, on="id_a"))
         .join(sb, on="id_b")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
@@ -297,8 +299,12 @@ def minhash_lsh_pairs(
     # collision p≈J⁴), so the collected id arrays stay small; a
     # pathological giant duplicate cluster is routed through the
     # distributed self-join arm / reported (_bucket_candidate_pairs).
-    bucketed = sh.withColumn("_bands", bands_of(F.col("h"))).select(
-        "id", F.posexplode("_bands").alias("band_idx", "band_val")
+    # posexplode is applied DIRECTLY to the UDF call: the former
+    # withColumn + posexplode-in-a-second-select shape made the
+    # optimizer copy the UDF below the Generate — two stacked
+    # ArrowEvalPython nodes, every row sketched twice (guide §4.4).
+    bucketed = sh.select(
+        "id", F.posexplode(bands_of(F.col("h"))).alias("band_idx", "band_val")
     )
     cands, report = _bucket_candidate_pairs(
         bucketed,
@@ -310,8 +316,14 @@ def minhash_lsh_pairs(
     a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
     jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
+    # broadcast the CANDIDATE side (post-LSH survivors — orders of
+    # magnitude smaller than the corpus) so the shingle table is never
+    # shuffled for verification: without the hint Spark estimates the
+    # aggregate-derived cands as huge and shuffles/broadcasts the heavy
+    # shingle arrays instead (guide §3.1 — estimates after aggregates
+    # are badly wrong; hint the side you KNOW is small)
     out = (
-        cands.join(a, on="id_a")
+        F.broadcast(F.broadcast(cands).join(a, on="id_a"))
         .join(b, on="id_b")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)

@@ -31,34 +31,48 @@ KNOWN_PREDICATES = {"hasLang": "", "hasSource": "", "belongsTo": "", "hasName": 
 
 
 def derive_triples(docs: DataFrame) -> DataFrame:
-    """documents(doc_id, text, lang, source, n_chars) → triples."""
+    """documents(doc_id, text, lang, source, n_chars) → triples.
+
+    Single scan: the six statements per document are emitted through
+    ONE `inline(array(struct…))` Generate instead of a six-branch
+    union.  The union form scanned `documents` six times and carried a
+    six-subtree plan into every downstream query (the optimizer also
+    pushed joins/filters through the union, sextupling join nodes in
+    e.g. insert-if-absent); the inline form reads the parquet once and
+    keeps the plan a single chain.  Row multiset (and therefore every
+    oracle hash) is unchanged — only the physical shape differs.
+    """
     doc_uri = F.concat(F.lit(BASE + "doc"), F.col("doc_id").cast("string"))
     src_uri = F.concat(F.lit(BASE + "src_"), F.col("source"))
 
     def stmt(seq: int, s, p, o):
-        return docs.select(
+        return F.struct(
             s.alias("subject"),
-            F.lit(p).alias("predicate") if isinstance(p, str) else p.alias("predicate"),
+            (F.lit(p) if isinstance(p, str) else p).alias("predicate"),
             o.alias("object"),
-            F.lit(1.0).cast("float").alias("confidence"),
-            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("source"),
-            F.create_map().cast("map<string,string>").alias("metadata"),
-            F.col("doc_id").cast("long").alias("doc_seq"),
             F.lit(seq).cast("int").alias("triple_seq"),
         )
 
-    parts = [
+    stmts = F.array(
         stmt(0, doc_uri, NS + "hasLang", F.col("lang")),
         stmt(1, doc_uri, NS + "hasSource", F.col("source")),
         stmt(2, doc_uri, NS + "belongsTo", src_uri),
         stmt(3, doc_uri, RDF_TYPE, F.lit(NS + "Document")),
         stmt(4, src_uri, NS + "hasName", F.col("source")),
         stmt(5, F.col("lang"), NS + "hasRole", F.col("lang")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    return docs.select(
+        F.col("doc_id"), F.inline(stmts)
+    ).select(
+        "subject",
+        "predicate",
+        "object",
+        F.lit(1.0).cast("float").alias("confidence"),
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("source"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        F.col("doc_id").cast("long").alias("doc_seq"),
+        F.col("triple_seq"),
+    )
 
 
 # the exact ANSI-SQL mirror (DuckDB), parameterized as a CTE body

@@ -243,8 +243,11 @@ def start_neardup_filter_sink(
         batch_df = batch_df.persist()
         sh = _with_hashed_shingles(batch_df, id_col, text_col, k).persist()
         bands_of = _minhash_band_udf(num_perm, bands)
-        new_bands = sh.withColumn("_bands", bands_of(F.col("h"))).select(
-            "id", F.posexplode("_bands").alias("band_idx", "band_val")
+        # posexplode directly over the UDF call — the withColumn +
+        # second-select shape duplicated the sketch UDF into two
+        # stacked ArrowEvalPython nodes (guide §4.4)
+        new_bands = sh.select(
+            "id", F.posexplode(bands_of(F.col("h"))).alias("band_idx", "band_val")
         ).persist()
 
         rejected = None
