@@ -241,7 +241,6 @@ def cosine_pairs_bucketed(
         a.join(b, on="bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     # per-vector norms computed once at the scan (codegen), not per
     # candidate pair in the interpreted HOF fold — identical doubles
@@ -253,12 +252,22 @@ def cosine_pairs_bucketed(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
         _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
     )
+    # VERIFY, then dedup: low thresholds force many tables, so each
+    # true pair is generated ~n_tables times.  Deduping first shuffled
+    # the whole duplicated candidate stream (measured 7.5M rows for a
+    # 2k-vector corpus at t=0.45) just to save re-scoring; scoring is
+    # now a map-side codegen fold (64 fma per pair) and duplicate
+    # survivors above the threshold are a tiny set, so the cheap move
+    # is to score everything where it sits and dedup only survivors.
+    # Duplicate pairs produce bit-identical sim values, so the final
+    # distinct yields exactly the old result set.
     return (
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
         .withColumn("sim", _sim_expr(round_digits, dim, "va", "vb"))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+        .distinct()
     )
 
 
