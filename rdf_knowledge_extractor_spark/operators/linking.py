@@ -186,6 +186,7 @@ def prefix_candidate_pairs(
     threshold: float = 0.85,
     max_bucket_size: int = 200,
     uri_col: str = "uri",
+    rank_prefixes: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidate_pairs(uri_a, uri_b), oversized_report) via PREFIX
     FILTERING (PPJoin family) over the canonical-key shingles.
@@ -211,27 +212,35 @@ def prefix_candidate_pairs(
     inv = entities_with_shingles.select(
         F.col(uri_col).alias("id"), F.explode("shingles").alias("g")
     )
-    df_tbl = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        inv.join(df_tbl, on="g")
-        .groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("g")))),
-                lambda s: s["g"],
-            ).alias("by_rarity")
-        )
-    )
-    prefix = ranked.select(
-        "id",
-        F.explode(
-            F.slice(
-                "by_rarity",
-                1,
-                (F.floor((1 - threshold) * F.size("by_rarity")) + F.lit(1)).cast("int"),
+    if rank_prefixes:
+        df_tbl = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            inv.join(df_tbl, on="g")
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("df"), F.col("g")))),
+                    lambda s: s["g"],
+                ).alias("by_rarity")
             )
-        ).alias("g"),
-    )
+        )
+        prefix = ranked.select(
+            "id",
+            F.explode(
+                F.slice(
+                    "by_rarity",
+                    1,
+                    (F.floor((1 - threshold) * F.size("by_rarity")) + F.lit(1)).cast("int"),
+                )
+            ).alias("g"),
+        )
+    else:
+        # tiny-input fast path: index EVERY shingle (a candidate
+        # superset of the ranked prefix — recall still exact) so the
+        # document-frequency ranking's three extra shuffles are
+        # skipped; the per-stage job-latency floor dominates at this
+        # size and the selfjoin arm bounds any hot gram
+        prefix = inv
     pairs, report = _bucket_candidate_pairs(
         prefix, ["g"], "id", max_bucket_size=max_bucket_size, oversized="selfjoin"
     )
@@ -398,9 +407,16 @@ def link_entities(
     # tier 2: fuzzy linking over representatives — prefix-filtered
     # candidates (EXACT recall at `threshold`, no sketch UDF, no
     # python worker round-trip; see prefix_candidate_pairs for the
-    # MinHash-vs-prefix measurement that motivated the switch)
+    # MinHash-vs-prefix measurement that motivated the switch).  The
+    # rarity ranking that keeps big inputs near-linear costs three
+    # extra tiny shuffles, so it is switched off below 1,000 entities
+    # (count on the checkpointed table is a cached-scan job) — same
+    # size-dispatch precedent as connected_components' labelprop arm.
     pairs, _oversized = prefix_candidate_pairs(
-        reps, threshold=threshold, max_bucket_size=max_bucket_size
+        reps,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        rank_prefixes=ent.count() > 1_000,
     )
     # key equality is already resolved by tier 1 → only true fuzzy edges
     edges = verified_edges(pairs, reps, threshold=threshold).filter(
