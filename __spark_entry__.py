@@ -51,11 +51,32 @@ def _graph(spark: SparkSession, sf: str) -> DataFrame:
 
     `_spread` lifts single-row-group parquet scans to default
     parallelism so the derive+partial-aggregate stage is not one task;
-    no-op when the scan already has enough splits (100-TB path)."""
+    no-op when the scan already has enough splits (100-TB path).
+
+    The dedup runs on a NARROW payload: `confidence`, `source` and
+    `metadata` are pure functions of `doc_seq` in the derived table
+    (constant / "doc:"+doc_seq / empty map), so they are re-derived
+    after the aggregate instead of riding through it — min_by over a
+    struct is a SortAggregate, and Catalyst cannot prune inside the
+    struct, so every spare byte in the payload is sorted and shuffled
+    (guide §2.3: shuffle keys and metadata, not payloads).  Schema and
+    values are identical for every consumer."""
     from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
     from rdf_knowledge_extractor_spark.operators.textdedup import _spread
 
-    return first_occurrence_dedup(derive_triples(_spread(_docs(spark, sf))))
+    t = derive_triples(_spread(_docs(spark, sf))).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
+    return first_occurrence_dedup(t).select(
+        "subject",
+        "predicate",
+        "object",
+        F.lit(1.0).cast("float").alias("confidence"),
+        F.concat(F.lit("doc:"), F.col("doc_seq").cast("string")).alias("source"),
+        F.create_map().cast("map<string,string>").alias("metadata"),
+        "doc_seq",
+        "triple_seq",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -118,7 +139,12 @@ def q_kg_insert_new(spark, sf):
 
     from rdf_knowledge_extractor_spark.operators.textdedup import _spread
 
-    t = derive_triples(_spread(_docs(spark, sf)))
+    # narrow payload through the dedup aggregates — the query only
+    # returns (subject, predicate, object); see _graph for why the
+    # constant/derivable columns must not ride through min_by
+    t = derive_triples(_spread(_docs(spark, sf))).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
     graph = first_occurrence_dedup(t.filter(F.col("doc_seq") % 2 == 0))
     batch = t.filter(F.col("doc_seq") % 2 == 1)
     new_rows, _ = insert_new_triples(graph, batch)

@@ -250,13 +250,24 @@ def ngram_jaccard_pairs(
     cands, report = _bucket_candidate_pairs(
         prefix, ["g"], "id", max_bucket_size=max_bucket_size, oversized=oversized
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    # verification runs on xxhash64-HASHED shingles: long set-ops are
+    # several times cheaper than hashing 9-char strings into the
+    # intersect/union hash sets, and |∩|/|∪| is unchanged up to a
+    # 2⁻⁶⁴ in-pair collision (the same accepted equivalence as
+    # minhash_lsh_pairs, whose verified output shares this operator's
+    # exact-answer contract).  No size-ratio shortcut: the shingle
+    # arrays are not deduplicated here, and array length is not set
+    # size, so a length precondition could wrongly drop a qualifying
+    # pair.
+    hashed = sh.select("id", shingle_hash_col(F.col("shingles")).alias("hs"))
+    sa = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
+    sb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
+    # no broadcast hints: the exact prefix-filter family's candidate
+    # volume can rival the corpus (see _verified_pairs) — the planner
+    # keeps the r5-proven robust join selection here
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    # candidate side broadcast — see minhash_lsh_pairs: keeps the
-    # shingle table out of the verify join's shuffles
     out = (
-        F.broadcast(F.broadcast(cands).join(sa, on="id_a"))
+        cands.join(sa, on="id_a")
         .join(sb, on="id_b")
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
@@ -317,21 +328,46 @@ def minhash_lsh_pairs(
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
-    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
-    # broadcast the CANDIDATE side (post-LSH survivors — orders of
-    # magnitude smaller than the corpus) so the shingle table is never
-    # shuffled for verification: without the hint Spark estimates the
-    # aggregate-derived cands as huge and shuffles/broadcasts the heavy
-    # shingle arrays instead (guide §3.1 — estimates after aggregates
-    # are badly wrong; hint the side you KNOW is small)
-    out = (
-        F.broadcast(F.broadcast(cands).join(a, on="id_a"))
-        .join(b, on="id_b")
+    out = _verified_pairs(cands, a, b, "h_a", "h_b", threshold, broadcast_candidates=True)
+    return (out, report) if with_report else out
+
+
+def _verified_pairs(cands, a, b, ha: str, hb: str, threshold: float,
+                    broadcast_candidates: bool = False):
+    """Attach each side's shingle arrays to the candidate pairs and
+    keep those with exact Jaccard ≥ threshold.
+
+    With `broadcast_candidates` (guide §3.1/§2.3), ONLY the slim
+    (id_a, id_b) candidate list is broadcast — without the hint Spark
+    estimates the aggregate-derived cands as huge and shuffles the
+    heavy shingle arrays instead.  Each shingle side is then attached
+    by streaming the (cached) shingle table past that one broadcast
+    (reused exchange), and the two candidate-bounded halves meet in a
+    final pair-keyed join, so the corpus-sized table is never shuffled
+    and everything that shuffles is bounded by the candidate count.
+    Callers may only set it when the candidate set is sketch-FILTERED
+    and therefore orders smaller than the corpus (MinHash banding):
+    the exact prefix-filter family's candidate volume can rival the
+    corpus, and broadcasting it OOMs at scale — as does broadcasting
+    anything shingle-CARRYING at any scale (an earlier shape that
+    broadcast the cands ⋈ shingles intermediate collected >1 GB to
+    the driver at sf0.1 and died on spark.driver.maxResultSize).
+    Default: no hints — the planner picks from real estimates, the
+    r5-proven robust shape for unbounded candidate sets."""
+    if broadcast_candidates:
+        slim = F.broadcast(cands)
+        xa = slim.join(a, on="id_a")
+        xb = slim.join(b, on="id_b")
+        joined = xa.join(xb, on=["id_a", "id_b"])
+    else:
+        joined = cands.join(a, on="id_a").join(b, on="id_b")
+    jac = F.size(F.array_intersect(ha, hb)) / F.size(F.array_union(ha, hb))
+    return (
+        joined
         .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return (out, report) if with_report else out
 
 
 @F.pandas_udf(T.LongType())
