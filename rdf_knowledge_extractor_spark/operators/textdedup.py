@@ -117,7 +117,8 @@ def _bucket_candidate_pairs(
     member_col: str,
     max_bucket_size: int = 200,
     oversized: str = "selfjoin",
-) -> tuple[DataFrame, DataFrame]:
+    with_buckets: bool = False,
+):
     """Skew-safe candidate pairs from a (bucket-key, member) table.
 
     One shuffle (groupBy bucket key → collect members).  Buckets with
@@ -170,6 +171,13 @@ def _bucket_candidate_pairs(
         pairs = small.unionByName(big_pairs)
     else:
         pairs = small
+    if with_buckets:
+        # expose the PERSISTED bucket aggregate so a caller can take
+        # cheap scalar statistics (e.g. the worst-case pair count for
+        # verify-join strategy dispatch) without recomputing the
+        # groupBy — the stats job materializes the same cache the main
+        # action needs anyway
+        return pairs.distinct(), report, buckets
     return pairs.distinct(), report
 
 
@@ -319,21 +327,44 @@ def minhash_lsh_pairs(
     bucketed = sh.select(
         "id", F.posexplode(bands_of(F.col("h"))).alias("band_idx", "band_val")
     )
-    cands, report = _bucket_candidate_pairs(
+    cands, report, buckets = _bucket_candidate_pairs(
         bucketed,
         ["band_idx", "band_val"],
         "id",
         max_bucket_size=max_bucket_size,
         oversized=oversized,
+        with_buckets=True,
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"))
-    out = _verified_pairs(cands, a, b, "h_a", "h_b", threshold, broadcast_candidates=True)
+    # verify-join strategy: MEASURED, not guessed (guide §1.1).  A
+    # scalar job over the already-persisted bucket aggregate bounds
+    # the candidate-pair count (Σ C(bucket, 2) — a pre-distinct upper
+    # bound incl. the selfjoin arm) and the mean shingle width; it
+    # materializes exactly the caches the main action needs, so it
+    # costs one driver round-trip.  When pairs × array bytes fit a
+    # broadcast comfortably, the verify runs as two map-side hash
+    # joins over the (broadcast) candidate halves — fastest measured
+    # shape, sh never shuffled; when they do not (giant dup clusters
+    # at web scale), it falls back to the pair-keyed join whose
+    # shuffles are candidate-bounded, never corpus-bounded.
+    sizes = buckets.select(F.size("_ids").alias("n")).filter(F.col("n") >= 2)
+    stats = sizes.select(
+        F.sum((F.col("n") * (F.col("n") - 1)) / 2).alias("pairs")
+    ).collect()[0]
+    avg_h = (sh.select(F.avg(F.size("h"))).collect()[0][0]) or 0.0
+    est_broadcast_bytes = float(stats["pairs"] or 0) * (avg_h * 8.0 + 32.0)
+    out = _verified_pairs(
+        cands, a, b, "h_a", "h_b", threshold,
+        broadcast_candidates=True,
+        broadcast_halves=est_broadcast_bytes < 256 * 1024 * 1024,
+    )
     return (out, report) if with_report else out
 
 
 def _verified_pairs(cands, a, b, ha: str, hb: str, threshold: float,
-                    broadcast_candidates: bool = False):
+                    broadcast_candidates: bool = False,
+                    broadcast_halves: bool = False):
     """Attach each side's shingle arrays to the candidate pairs and
     keep those with exact Jaccard ≥ threshold.
 
@@ -353,8 +384,18 @@ def _verified_pairs(cands, a, b, ha: str, hb: str, threshold: float,
     broadcast the cands ⋈ shingles intermediate collected >1 GB to
     the driver at sf0.1 and died on spark.driver.maxResultSize).
     Default: no hints — the planner picks from real estimates, the
-    r5-proven robust shape for unbounded candidate sets."""
-    if broadcast_candidates:
+    r5-proven robust shape for unbounded candidate sets.
+
+    `broadcast_halves` additionally broadcasts the array-carrying
+    (cands ⋈ a) half so the whole verify is map-side — the fastest
+    measured shape, but only legal when the caller has MEASURED the
+    candidate volume and knows pairs × array bytes fit a broadcast
+    (minhash_lsh_pairs takes a scalar-statistics job over the cached
+    bucket aggregate to decide); unmeasured use of this flag is the
+    maxResultSize incident above."""
+    if broadcast_candidates and broadcast_halves:
+        joined = F.broadcast(F.broadcast(cands).join(a, on="id_a")).join(b, on="id_b")
+    elif broadcast_candidates:
         slim = F.broadcast(cands)
         xa = slim.join(a, on="id_a")
         xb = slim.join(b, on="id_b")
