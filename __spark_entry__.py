@@ -678,10 +678,13 @@ def q_text_langid(spark, sf):
 
 
 def q_text_quality(spark, sf):
+    # measured: _spread here LOSES (~0.25s no-spread vs ~0.4s spread at
+    # sf1) — the metrics are cheap codegen expressions, so the
+    # round-robin exchange costs more than the extra scan parallelism
+    # buys; spreading only pays when heavy per-row work follows
     from rdf_knowledge_extractor_spark.functions.text_analysis import quality_metrics
-    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
 
-    return quality_metrics(_spread(_docs(spark, sf))).select(
+    return quality_metrics(_docs(spark, sf)).select(
         "doc_id", "n_words", "avg_word_len", "digit_ratio", "stop_ratio", "quality_score"
     )
 
