@@ -97,7 +97,7 @@ def main() -> None:
 
     # ---- ann_cosine_topk stages ---------------------------------------
     from rdf_knowledge_extractor_spark.operators.similarity import (
-        _norm_fixed,
+        _norm,
         _sim_expr,
         cosine_topk_bruteforce,
     )
@@ -106,12 +106,12 @@ def main() -> None:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
-        _norm_fixed(F.col("embedding"), 64).alias("q_norm"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     c = _spread(emb).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
-        _norm_fixed(F.col("embedding"), 64).alias("c_norm"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))

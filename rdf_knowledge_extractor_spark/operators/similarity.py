@@ -76,15 +76,24 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
 def _sim_expr(round_digits: int, dim: int | None,
               q_vec: str = "q_vec", c_vec: str = "c_vec") -> Column:
     """Rounded cosine between two joined vector columns.  With a known
-    `dim`, uses the codegen-unrolled fold and the PRE-COMPUTED norm
-    columns (`q_norm`/`c_norm`) the fixed-dim paths attach before the
-    join — each vector's norm is computed once instead of once per
-    compared pair; values are bit-identical (same fold order, same
-    doubles divided)."""
+    `dim`, uses the PRE-COMPUTED norm columns (`q_norm`/`c_norm`) the
+    fixed-dim paths attach before the join — each vector's norm is
+    computed once instead of once per compared pair; values are
+    bit-identical (same fold order, same doubles divided).
+
+    The dot product stays the HOF `aggregate` fold: the unrolled
+    64-term expression tree (r6 batch 1) never actually reaches
+    whole-stage codegen — the plan shows ZERO WholeStageCodegen spans
+    even with the default hugeMethodLimit, because the projection
+    exceeds codegen's expression limits — so it ran as 384 interpreted
+    expression-tree nodes per pair, measured 4× SLOWER than the
+    specialized higher-order-function evaluator's lambda loop
+    (sf1.0-scale A/B on this box: unrolled 2.11 s vs HOF-dot+prenorm
+    0.58 s end-to-end, results exactly equal)."""
     if dim is None:
         return F.round(cosine(F.col(q_vec), F.col(c_vec)), round_digits)
     return F.round(
-        _dot_fixed(F.col(q_vec), F.col(c_vec), dim)
+        _dot(F.col(q_vec), F.col(c_vec))
         / (F.col("q_norm") * F.col("c_norm")),
         round_digits,
     )
@@ -108,14 +117,14 @@ def cosine_topk_bruteforce(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        *([] if dim is None else [_norm_fixed(F.col(vec_col), dim).alias("q_norm")]),
+        *([] if dim is None else [_norm(F.col(vec_col)).alias("q_norm")]),
     )
     # a small embeddings table often arrives as ONE parquet row group —
     # the whole scoring stage (corpus × queries scan-side nested-loop)
     # would then run in a single task; _spread is a no-op at scale
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        *([] if dim is None else [_norm_fixed(F.col(vec_col), dim).alias("c_norm")]),
+        *([] if dim is None else [_norm(F.col(vec_col)).alias("c_norm")]),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -246,11 +255,11 @@ def cosine_pairs_bucketed(
     # candidate pair in the interpreted HOF fold — identical doubles
     va = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        _norm_fixed(F.col(vec_col), dim).alias("q_norm"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     vb = corpus.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     # VERIFY, then dedup: low thresholds force many tables, so each
     # true pair is generated ~n_tables times.  Deduping first shuffled
@@ -351,13 +360,13 @@ def ivf_cosine_topk(
     c_cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
     )
     q_cells = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm_fixed(F.col(vec_col), dim).alias("q_norm"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe(F.col(vec_col))).alias("cell"),
     )
     # no dedup needed (unlike lsh_cosine_topk's multi-table collisions):
@@ -398,13 +407,13 @@ def lsh_cosine_topk(
     c_buck = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm_fixed(F.col(vec_col), dim).alias("c_norm"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
     )
     q_buck = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm_fixed(F.col(vec_col), dim).alias("q_norm"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(buckets_of(F.col(vec_col))).alias("bucket"),
     )
     cands = (

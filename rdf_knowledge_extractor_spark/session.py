@@ -28,11 +28,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # let AQE shrink tiny post-shuffle stages below core count —
-        # iterative small-data stages (CC rounds, LSH bucketing) would
-        # otherwise pay full task-launch overhead × shuffle.partitions
-        # per round (Spark default keeps parallelism ≥ defaultParallelism)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true is the SPARK DEFAULT and measured
+        # faster here (r6): AQE still coalesces tiny post-shuffle
+        # stages, but only down to defaultParallelism — with the r5
+        # override (false) a CPU-heavy small-bytes stage (e.g. the
+        # 800k-row collect_list bucket aggregate of MinHash-LSH, or a
+        # window over sessions) collapsed to ONE 64MB-advisory task
+        # and serialized on a single core.  Same-session A/B at
+        # sf1.0/local[32]: minhash 6.3→3.9 s, insert_new 1.30→0.92,
+        # pipeline 4.7→3.6, every other headline query ≤; sf0.1 total
+        # 8.33→7.00 s.  Scale-neutral: at real partition sizes the
+        # advisory target dominates and the two settings coincide.
         # default=false disables AQE on persisted plans — the linking /
         # connected-components stages cache aggressively and would lose
         # post-shuffle coalescing entirely without this
