@@ -53,21 +53,29 @@ def _graph(spark: SparkSession, sf: str) -> DataFrame:
     parallelism so the derive+partial-aggregate stage is not one task;
     no-op when the scan already has enough splits (100-TB path).
 
-    The dedup runs on a NARROW payload: `confidence`, `source` and
-    `metadata` are pure functions of `doc_seq` in the derived table
-    (constant / "doc:"+doc_seq / empty map), so they are re-derived
-    after the aggregate instead of riding through it — min_by over a
-    struct is a SortAggregate, and Catalyst cannot prune inside the
-    struct, so every spare byte in the payload is sorted and shuffled
-    (guide §2.3: shuffle keys and metadata, not payloads).  Schema and
-    values are identical for every consumer."""
-    from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
-    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+    The dedup runs on the NARROW PRE-IMAGE (derive_triples_dedup):
+    the statement families are provably collision-disjoint by their
+    constant predicates, so first-occurrence dedup reduces to a
+    DISTINCT on (doc_id, triple_seq, attr) for the per-doc families
+    plus two value-cardinality aggregates — ~20-byte tuples through
+    the shuffle instead of three URI strings per row, with the URI
+    concat done once per survivor (guide §2.3/§8; equivalence proven
+    in derive_triples_dedup's docstring and pinned by
+    tests/test_round6_plan_shapes.py).  `confidence`, `source` and
+    `metadata` are pure functions of `doc_seq` and are re-derived
+    after the aggregate.  Schema and values are identical for every
+    consumer.
 
-    t = derive_triples(_spread(_docs(spark, sf))).select(
-        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    No `_spread`: the narrow pre-image aggregates are too cheap to
+    justify three per-branch round-robin exchanges of the scan (A/B at
+    sf1-scale: no-spread 0.44 s vs spread 0.57 s vs the r6 min_by form
+    0.53 s); downstream parallelism comes from the distinct's own
+    shuffle."""
+    from rdf_knowledge_extractor_spark.sources.doc_triples import (
+        derive_triples_dedup,
     )
-    return first_occurrence_dedup(t).select(
+
+    return derive_triples_dedup(_docs(spark, sf)).select(
         "subject",
         "predicate",
         "object",
@@ -132,23 +140,57 @@ def q_kg_dedup_first(spark, sf):
 
 
 def q_kg_insert_new(spark, sf):
-    from rdf_knowledge_extractor_spark.operators.dedup import (
-        first_occurrence_dedup,
-        insert_new_triples,
+    from rdf_knowledge_extractor_spark.sources.doc_triples import (
+        derive_triples_dedup,
     )
 
-    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
-
-    # narrow payload through the dedup aggregates — the query only
-    # returns (subject, predicate, object); see _graph for why the
-    # constant/derivable columns must not ride through min_by
-    t = derive_triples(_spread(_docs(spark, sf))).select(
-        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    # Insert-if-absent of the odd-doc batch into the even-doc graph,
+    # decomposed FAMILY-WISE (guide §8: use what the optimizer cannot
+    # know).  `doc_seq % 2` on the derived table equals `doc_id % 2`
+    # on documents (doc_seq = cast(doc_id)), and the generic
+    # batch-anti-graph join on (s,p,o) provably reduces to:
+    #
+    # - families 0-3 (per-doc statements): the subject embeds the
+    #   odd doc_id ('…/doc'||id is injective in id), and the six
+    #   families carry six distinct constant predicates, so an
+    #   odd-side row can never equal ANY even-side row — the whole
+    #   family passes the anti-join untouched;
+    # - family 4 (src hasName source): equality holds iff the two
+    #   `source` values are equal (subject and object are both
+    #   injective functions of it), so the anti-join reduces to
+    #   object ∉ distinct sources(even docs) — with SQL NULL-key
+    #   semantics (a NULL object never matches, hence survives)
+    #   identical to the string anti-join's;
+    # - family 5 (lang hasRole lang): likewise on `lang`.
+    #
+    # The former generic anti-join exploded through the 3-branch
+    # union on both sides (46 Exchanges / 20 scans / 6 broadcast
+    # builds at sf1-scale); this shape joins only the two
+    # value-cardinality slivers against broadcast distinct key sets.
+    # Batch self-dedup semantics are preserved by
+    # derive_triples_dedup (≡ first_occurrence_dedup of the batch).
+    # Output equality with the generic formulation is pinned by
+    # tests/test_round6_plan_shapes.py::test_insert_new_familywise_
+    # matches_generic_antijoin and the unchanged DuckDB oracle.
+    docs = _docs(spark, sf)
+    batch = derive_triples_dedup(docs.filter(F.col("doc_id") % 2 == 1))
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    fam03 = batch.filter(F.col("triple_seq") <= 3)
+    fam4 = batch.filter(F.col("triple_seq") == 4).join(
+        F.broadcast(evens.select(F.col("source").alias("object")).distinct()),
+        on="object",
+        how="left_anti",
     )
-    graph = first_occurrence_dedup(t.filter(F.col("doc_seq") % 2 == 0))
-    batch = t.filter(F.col("doc_seq") % 2 == 1)
-    new_rows, _ = insert_new_triples(graph, batch)
-    return new_rows.select("subject", "predicate", "object")
+    fam5 = batch.filter(F.col("triple_seq") == 5).join(
+        F.broadcast(evens.select(F.col("lang").alias("object")).distinct()),
+        on="object",
+        how="left_anti",
+    )
+    return (
+        fam03.unionByName(fam4.select(*batch.columns))
+        .unionByName(fam5.select(*batch.columns))
+        .select("subject", "predicate", "object")
+    )
 
 
 def q_kg_stats(spark, sf):

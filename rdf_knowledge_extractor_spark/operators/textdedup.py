@@ -330,7 +330,17 @@ def minhash_lsh_pairs(
     both the verify set-ops and the Arrow transfer into the sketch UDF
     run ~3× cheaper than on 9-char strings.
     """
-    sh = _with_hashed_shingles(_spread(docs), id_col, text_col, k).persist()
+    # localCheckpoint (not persist): the shingle table feeds FOUR plan
+    # branches (bands UDF, width stat, both verify sides).  persist()
+    # pays a columnar encode of the ~3 KB/row hash arrays on fill
+    # (measured ~1.5× the compute itself at sf1-scale) and re-analyzes
+    # the scan+shingle lineage per action; the checkpoint stores the
+    # UnsafeRows once and truncates the plan.  Same trade (and the
+    # same block-release caveat) as linking.link_entities' entity
+    # table; measured −0.4 s end-to-end vs persist at sf1-scale.
+    sh = _with_hashed_shingles(_spread(docs), id_col, text_col, k).localCheckpoint(
+        eager=True
+    )
     bands_of = _minhash_band_udf(num_perm, bands)
     # candidate generation: ONE shuffle (groupBy band key) + in-array
     # pair combinations, instead of the former window-count + banded
@@ -367,11 +377,16 @@ def minhash_lsh_pairs(
     # shape, sh never shuffled; when they do not (giant dup clusters
     # at web scale), it falls back to the pair-keyed join whose
     # shuffles are candidate-bounded, never corpus-bounded.
+    # ONE action for both scalars (pair bound × mean width): the two
+    # single-row aggregates cross-join into one row, so their stages
+    # run inside one job instead of two sequential driver round trips
     sizes = buckets.select(F.size("_ids").alias("n")).filter(F.col("n") >= 2)
-    stats = sizes.select(
-        F.sum((F.col("n") * (F.col("n") - 1)) / 2).alias("pairs")
-    ).collect()[0]
-    avg_h = (sh.select(F.avg(F.size("h"))).collect()[0][0]) or 0.0
+    stats = (
+        sizes.agg(F.sum((F.col("n") * (F.col("n") - 1)) / 2).alias("pairs"))
+        .crossJoin(sh.agg(F.avg(F.size("h")).alias("avg_w")))
+        .collect()[0]
+    )
+    avg_h = stats["avg_w"] or 0.0
     est_broadcast_bytes = float(stats["pairs"] or 0) * (avg_h * 8.0 + 32.0)
     out = _verified_pairs(
         cands, a, b, "h_a", "h_b", threshold,

@@ -75,6 +75,90 @@ def derive_triples(docs: DataFrame) -> DataFrame:
     )
 
 
+def derive_triples_dedup(docs: DataFrame) -> DataFrame:
+    """First-occurrence dedup of `derive_triples(docs)`, computed on
+    the narrow PRE-IMAGE instead of the (s,p,o) URI strings, projected
+    to (subject, predicate, object, doc_seq, triple_seq).
+
+    Row-for-row equal to
+    `first_occurrence_dedup(derive_triples(docs))` (guide §2.3 /
+    §8: make the dedup shuffle carry a lightweight proxy, rebuild the
+    heavy strings after the aggregate).  Proof of equivalence:
+
+    - The six statement families carry six DISTINCT constant
+      predicates (hasLang / hasSource / belongsTo / rdf:type /
+      hasName / hasRole), so a cross-family (s,p,o) collision is
+      impossible for ANY data values.
+    - Families 0-3: subject = BASE+'doc'+doc_id is injective in
+      doc_id, and the object is determined by (triple_seq, attr)
+      where attr is lang (0), source (1, 2) or '' (3) — so the
+      string key is a bijection of the narrow tuple
+      (doc_id, triple_seq, attr).  Every member of a duplicate group
+      shares doc_seq = doc_id and triple_seq, so first-occurrence =
+      DISTINCT on the narrow tuple.  NULL attrs/doc_ids group in the
+      distinct exactly as the NULL string keys they map to.
+    - Family 4: key is determined by `source` alone; the surviving
+      doc_seq is min(doc_id) (min ignores NULLs = the ordinal's
+      nulls-last rule; all-NULL groups yield NULL, as the original).
+      Family 5: likewise by `lang`.
+
+    The dedup therefore shuffles ~20-byte tuples (long, int, short
+    attr) instead of three ~40-byte URI strings per row, and the two
+    repeated-key families collapse to tiny value-cardinality
+    aggregates — the URI concat work happens once per SURVIVOR.
+    """
+    doc_uri = F.concat(F.lit(BASE + "doc"), F.col("doc_id").cast("string"))
+    src_uri_of = lambda c: F.concat(F.lit(BASE + "src_"), c)  # noqa: E731
+
+    fam03 = (
+        docs.select(
+            F.col("doc_id"),
+            F.inline(
+                F.array(
+                    F.struct(F.lit(0).alias("ts"), F.col("lang").alias("attr")),
+                    F.struct(F.lit(1).alias("ts"), F.col("source").alias("attr")),
+                    F.struct(F.lit(2).alias("ts"), F.col("source").alias("attr")),
+                    F.struct(F.lit(3).alias("ts"), F.lit("").alias("attr")),
+                )
+            ),
+        )
+        .distinct()
+        .select(
+            doc_uri.alias("subject"),
+            F.element_at(
+                F.array(
+                    F.lit(NS + "hasLang"),
+                    F.lit(NS + "hasSource"),
+                    F.lit(NS + "belongsTo"),
+                    F.lit(RDF_TYPE),
+                ),
+                F.col("ts") + 1,
+            ).alias("predicate"),
+            F.when(F.col("ts") == 2, src_uri_of(F.col("attr")))
+            .when(F.col("ts") == 3, F.lit(NS + "Document"))
+            .otherwise(F.col("attr"))
+            .alias("object"),
+            F.col("doc_id").cast("long").alias("doc_seq"),
+            F.col("ts").cast("int").alias("triple_seq"),
+        )
+    )
+    fam4 = docs.groupBy("source").agg(F.min("doc_id").alias("_d")).select(
+        src_uri_of(F.col("source")).alias("subject"),
+        F.lit(NS + "hasName").alias("predicate"),
+        F.col("source").alias("object"),
+        F.col("_d").cast("long").alias("doc_seq"),
+        F.lit(4).cast("int").alias("triple_seq"),
+    )
+    fam5 = docs.groupBy("lang").agg(F.min("doc_id").alias("_d")).select(
+        F.col("lang").alias("subject"),
+        F.lit(NS + "hasRole").alias("predicate"),
+        F.col("lang").alias("object"),
+        F.col("_d").cast("long").alias("doc_seq"),
+        F.lit(5).cast("int").alias("triple_seq"),
+    )
+    return fam03.unionByName(fam4).unionByName(fam5)
+
+
 # the exact ANSI-SQL mirror (DuckDB), parameterized as a CTE body
 DERIVE_TRIPLES_SQL = f"""
   SELECT '{BASE}doc' || CAST(doc_id AS VARCHAR) AS subject,

@@ -181,3 +181,76 @@ def test_bands_udf_invariant_to_chunk_budget(spark):
     out_perm = list(udf_small.func(vals.iloc[perm].reset_index(drop=True)))
     for i, j in enumerate(perm):
         assert list(out_perm[i]) == list(out_now[j])
+
+
+def _hostile_docs(spark):
+    """NULL langs/sources, duplicate doc rows, parity-asymmetric
+    source/lang sets — the edge cases the narrow-pre-image dedup
+    proof must cover."""
+    import pyspark.sql.types as T
+
+    rows = [
+        (0, "t", "en", "shared"), (1, "t", "en", "shared"),
+        (2, "t", "fr", "evenonly"), (3, "t", "zh", "oddonly"),
+        (4, "t", None, "shared"), (5, "t", None, "oddnullang"),
+        (6, "t", "de", None), (7, "t", "es", None),
+        (9, "t", "en", "shared"), (1, "t", "en", "shared"),
+        (1, "t", "alt", "shared"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_derive_triples_dedup_matches_minby_dedup(spark):
+    """The narrow-pre-image dedup (distinct on (doc_id, seq, attr) +
+    two value-cardinality aggregates) must equal first-occurrence
+    dedup over the derived (s,p,o) strings — including NULL keys and
+    duplicate doc_ids."""
+    from rdf_knowledge_extractor_spark.operators.dedup import first_occurrence_dedup
+    from rdf_knowledge_extractor_spark.sources.doc_triples import (
+        derive_triples,
+        derive_triples_dedup,
+    )
+
+    docs = _hostile_docs(spark)
+    old = first_occurrence_dedup(derive_triples(docs)).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
+    new = derive_triples_dedup(docs)
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    assert sorted(map(key, new.collect())) == sorted(map(key, old.collect()))
+
+
+def test_insert_new_familywise_matches_generic_antijoin(spark, tmp_path):
+    """q_kg_insert_new's family-wise decomposition must equal the
+    generic batch-anti-graph join on (s,p,o) — including NULL-key
+    anti-join semantics and parity-asymmetric source/lang sets."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from rdf_knowledge_extractor_spark.operators.dedup import (
+        first_occurrence_dedup,
+        insert_new_triples,
+    )
+    from rdf_knowledge_extractor_spark.sources.doc_triples import derive_triples
+
+    docs = _hostile_docs(spark)
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    t = derive_triples(docs).select(
+        "subject", "predicate", "object", "doc_seq", "triple_seq"
+    )
+    graph = first_occurrence_dedup(t.filter(F.col("doc_seq") % 2 == 0))
+    batch = t.filter(F.col("doc_seq") % 2 == 1)
+    new_rows, _ = insert_new_triples(graph, batch)
+    generic = new_rows.select("subject", "predicate", "object")
+
+    got = entry.queries()["kg_insert_new"](spark, str(tmp_path))
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, generic.collect()))
