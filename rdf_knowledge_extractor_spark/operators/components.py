@@ -37,6 +37,62 @@ from pyspark.sql import functions as F
 # rounds) beats the 2-phase star rounds
 _LABELPROP_MAX_EDGES = 100_000
 
+# below this many edges the whole component computation fits the
+# driver comfortably (≤ a few MB of node strings — the same
+# scalar-bounded-collect class as the IVF training sample) and a
+# single collect + union-find replaces the iterative loop's ~2 jobs
+# per round.  At 100-TB scale the count() dispatch sends the work to
+# the distributed star rounds unchanged.
+_DRIVER_MAX_EDGES = 100_000
+
+
+def _components_driver(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Union-find on a collected edge list — small-input fast path.
+
+    Semantics identical to the distributed arms: component = min
+    reachable node under the same ordering Spark uses (UTF-8 byte
+    order ≡ code-point order, which is Python's `<` on str), isolated
+    nodes appear iff present in `edges`, self-loops allowed, NULL
+    endpoints ignored by the joins' equality semantics (a NULL never
+    equals anything, so distributed rounds never propagate through
+    it; we drop NULL-endpoint edges likewise)."""
+    spark = edges.sparkSession
+    rows = edges.select(src, dst).collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] is not root and parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        for n in (a, b):
+            if n is not None and n not in parent:
+                parent[n] = n
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the MIN as the root so the label is the component min
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    from pyspark.sql import types as T
+
+    node_type = edges.schema[src].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_type, True),
+            T.StructField("component", node_type, True),
+        ]
+    )
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, schema)
+
 
 def connected_components(
     edges: DataFrame,
@@ -57,8 +113,8 @@ def connected_components(
             return edges.sparkSession.createDataFrame(
                 [], "node string, component string"
             )
-        if n_edges <= _LABELPROP_MAX_EDGES:
-            return connected_components_labelprop(e, "a", "b", max_iter)
+        if n_edges <= _DRIVER_MAX_EDGES:
+            return _components_driver(e, "a", "b")
         return connected_components_star(e, "a", "b", max_iter)[0]
     finally:
         e.unpersist()

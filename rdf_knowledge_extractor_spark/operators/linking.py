@@ -235,12 +235,31 @@ def prefix_candidate_pairs(
             ).alias("g"),
         )
     else:
-        # tiny-input fast path: index EVERY shingle (a candidate
-        # superset of the ranked prefix — recall still exact) so the
-        # document-frequency ranking's three extra shuffles are
-        # skipped; the per-stage job-latency floor dominates at this
-        # size and the selfjoin arm bounds any hot gram
-        prefix = inv
+        # tiny-input fast arm: index EVERY shingle (a candidate
+        # superset of the ranked prefix — recall still exact) and
+        # generate pairs with a DIRECT self-equi-join on the inverted
+        # index.  The pair set is identical to the bucket machinery's
+        # (its selfjoin arm makes bucketed generation ≡ the plain
+        # self-join for every bucket size), but the plan is 2 stages
+        # instead of groupBy + persist + in-array combos + report
+        # branches — at the sizes this arm dispatches on (< 1,000
+        # entities, see link_entities) the job-latency floor is the
+        # whole cost.  Oversized-report is vacuously empty.
+        a = inv.select(F.col("id").alias("id_a"), "g")
+        b = inv.select(F.col("id").alias("id_b"), "g")
+        pairs = (
+            a.join(b, on="g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        report = entities_with_shingles.sparkSession.createDataFrame(
+            [], "g string, n int"
+        )
+        return (
+            pairs.select(F.col("id_a").alias("uri_a"), F.col("id_b").alias("uri_b")),
+            report,
+        )
     pairs, report = _bucket_candidate_pairs(
         prefix, ["g"], "id", max_bucket_size=max_bucket_size, oversized="selfjoin"
     )

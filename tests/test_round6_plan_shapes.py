@@ -254,3 +254,32 @@ def test_insert_new_familywise_matches_generic_antijoin(spark, tmp_path):
     got = entry.queries()["kg_insert_new"](spark, str(tmp_path))
     key = lambda r: tuple(str(x) for x in r)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, generic.collect()))
+
+
+def test_driver_unionfind_matches_distributed_cc(spark):
+    """The small-input driver union-find arm must reproduce the
+    distributed star rounds exactly — string and integer node types,
+    self-loops, isolated-by-self-loop nodes, chains."""
+    import random
+
+    from rdf_knowledge_extractor_spark.operators.components import (
+        _components_driver,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    edges = [(f"n{rng.randint(0, 60)}", f"n{rng.randint(0, 60)}") for _ in range(120)]
+    edges += [("iso", "iso"), ("c0", "c1"), ("c1", "c2"), ("c2", "c3")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    want_df, _ = connected_components_star(df, "src", "dst")
+    want = {r.node: r.component for r in want_df.collect()}
+    got = {r.node: r.component for r in _components_driver(df, "src", "dst").collect()}
+    assert got == want
+
+    int_edges = [(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(80)]
+    df2 = spark.createDataFrame(int_edges, "src long, dst long")
+    want_df2, _ = connected_components_star(df2, "src", "dst")
+    want2 = {r.node: r.component for r in want_df2.collect()}
+    got2 = {r.node: r.component for r in _components_driver(df2, "src", "dst").collect()}
+    assert got2 == want2
+    assert _components_driver(df2, "src", "dst").schema["node"].dataType.simpleString() == "bigint"
