@@ -338,8 +338,14 @@ def verified_edges(
     and compare ~3× cheaper than 3-char strings on the candidate
     volume this join sees.
     """
+    # array_distinct on the hashes makes them SETS even under a hash
+    # collision (result unchanged — intersect/union deduplicate), so
+    # |A∪B| = |A|+|B|−|A∩B| holds exactly and the per-pair union hash
+    # set is never built: one set-op per candidate pair instead of two
     ent = entities_with_shingles.select(
-        F.col(uri_col), F.col("key"), shingle_hash_col(F.col("shingles")).alias("_sh")
+        F.col(uri_col),
+        F.col("key"),
+        F.array_distinct(shingle_hash_col(F.col("shingles"))).alias("_sh"),
     )
     a = ent.select(
         F.col(uri_col).alias("uri_a"), F.col("key").alias("key_a"), F.col("_sh").alias("sh_a")
@@ -347,8 +353,10 @@ def verified_edges(
     b = ent.select(
         F.col(uri_col).alias("uri_b"), F.col("key").alias("key_b"), F.col("_sh").alias("sh_b")
     )
-    joined = pairs.join(a, on="uri_a").join(b, on="uri_b")
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    joined = pairs.join(a, on="uri_a").join(b, on="uri_b").withColumn(
+        "_i", F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    jaccard = F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i"))
     return joined.filter((F.col("key_a") == F.col("key_b")) | (jaccard >= threshold)).select(
         "uri_a", "uri_b"
     )

@@ -286,17 +286,30 @@ def ngram_jaccard_pairs(
     # arrays are not deduplicated here, and array length is not set
     # size, so a length precondition could wrongly drop a qualifying
     # pair.
-    hashed = sh.select("id", shingle_hash_col(F.col("shingles")).alias("hs"))
+    # array_distinct on the hashes makes them SETS even under a hash
+    # collision, so (a) the result is unchanged (array_intersect/union
+    # already deduplicate) and (b) |A∪B| = |A|+|B|−|A∩B| holds exactly
+    # — the per-pair union hash set is never built (one set-op per
+    # candidate pair instead of two, same integers divided)
+    hashed = sh.select(
+        "id", F.array_distinct(shingle_hash_col(F.col("shingles"))).alias("hs")
+    )
     sa = hashed.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
     sb = hashed.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
     # no broadcast hints: the exact prefix-filter family's candidate
     # volume can rival the corpus (see _verified_pairs) — the planner
     # keeps the r5-proven robust join selection here
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     out = (
         cands.join(sa, on="id_a")
         .join(sb, on="id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")), 4
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -436,10 +449,17 @@ def _verified_pairs(cands, a, b, ha: str, hb: str, threshold: float,
         joined = xa.join(xb, on=["id_a", "id_b"])
     else:
         joined = cands.join(a, on="id_a").join(b, on="id_b")
-    jac = F.size(F.array_intersect(ha, hb)) / F.size(F.array_union(ha, hb))
+    # |A∪B| = |A|+|B|−|A∩B| — exact (the arrays are distinct-hash
+    # SETS by construction), so the per-pair array_union hash set is
+    # never built: one set-op per pair instead of two, identical
+    # integers divided → bit-identical jaccard
+    inter = F.size(F.array_intersect(ha, hb))
     return (
         joined
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard", F.round(F.col("_i") / (F.size(ha) + F.size(hb) - F.col("_i")), 4)
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
