@@ -828,7 +828,12 @@ def q_corpus_decontam(spark, sf):
         contamination_report,
     )
 
-    docs = _docs(spark, sf)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the n-gram Generate + broadcast probe otherwise runs in
+    # the single task of a one-row-group scan (measured 5.4 s -> 0.5 s
+    # for the gram stage at sf0.1); no-op at scale
+    docs = _spread(_docs(spark, sf))
     bench = docs.filter(F.col("doc_id") % 37 == 0)
     return contamination_report(docs, bench, n=3)
 
@@ -841,7 +846,11 @@ def q_text_entropy(spark, sf):
         char_bigram_entropy,
     )
 
-    return char_bigram_entropy(_docs(spark, sf), max_chars=256)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the bounded bigram explode is Generate-heavy (measured
+    # 2.9 s -> 0.6 s at sf0.1 from a one-row-group scan); no-op at scale
+    return char_bigram_entropy(_spread(_docs(spark, sf)), max_chars=256)
 
 
 def q_corpus_split(spark, sf):
@@ -1249,7 +1258,10 @@ def q_multimodal_audio(spark, sf):
         extract_media_features,
     )
 
-    media = documents_as_audio(_docs(spark, sf))
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: python WAV decode from a one-row-group scan is one task
+    media = documents_as_audio(_spread(_docs(spark, sf)))
     feats = extract_media_features(media, deterministic_fake=False, feature_dim=8)
     return feats.select(
         "media_id",
@@ -1271,7 +1283,12 @@ def q_multimodal_jpeg(spark, sf):
         extract_media_features,
     )
 
-    media = documents_as_jpeg(_docs(spark, sf))
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the pure-python T.81 decode is ~1 ms/image — a
+    # one-row-group scan serializes 5,000 decodes in one task
+    # (measured 4.6 s -> 1.2 s at sf0.1); no-op at scale
+    media = documents_as_jpeg(_spread(_docs(spark, sf)))
     feats = extract_media_features(media, deterministic_fake=False, feature_dim=8)
     return feats.select(
         "media_id",

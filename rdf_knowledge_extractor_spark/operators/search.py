@@ -105,6 +105,10 @@ def bm25_topk(
         ["query_id", "term"],
     )
 
+    # NOTE: _spread on the postings input was measured SLOWER here
+    # (1.68 vs 1.51 s at sf0.1, interleaved A/B): the postings feed two
+    # branches, so the round-robin exchange runs twice and costs more
+    # than the tokenize parallelism returns
     postings = doc_postings(docs, text_col=text_col, id_col=id_col)
     # corpus constants: 1 row, broadcast by crossJoin
     stats = postings.groupBy("doc_id").agg(
