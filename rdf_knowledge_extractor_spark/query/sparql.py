@@ -131,6 +131,15 @@ def _tokenize(text: str) -> list[str]:
     return toks
 
 
+# below this many (distinct, checkpointed) edges the property-path
+# closures dispatch to latency-optimal small arms: the seeded BFS
+# collects and walks on the driver (output bounded by the node set —
+# the components._DRIVER_MAX_EDGES scalar-bounded-collect class), and
+# the full closure uses path doubling (O(log diameter) rounds).  Both
+# fall back to the r4/r5 distributed loops above the bound.
+_DRIVER_PATH_MAX_EDGES = 100_000
+
+
 class SparqlEngine:
     def __init__(self, graph: DataFrame):
         self.graph = graph
@@ -727,12 +736,43 @@ class SparqlEngine:
         from-seed) vs O(closure) — at web scale the difference between
         touching one entity's neighborhood and the whole graph."""
         base = edges.select("_src", "_dst").distinct().localCheckpoint(eager=True)
+        rounds = 0
+        if base.count() <= _DRIVER_PATH_MAX_EDGES:
+            # small-input arm: PATH DOUBLING — closure ∘ closure per
+            # round reaches fixed point in O(log diameter) rounds
+            # instead of semi-naive's O(diameter), and each round is
+            # still 2 driver jobs; a 19-hop chain costs ~6 rounds
+            # instead of 19 (the per-round job-latency floor is the
+            # whole cost at this size).  Result identical: both
+            # compute the distinct ≥1-hop closure.  Semi-naive stays
+            # the big-graph arm below — it is work-optimal (each pair
+            # generated from the new frontier only), where doubling
+            # re-joins the full closure log-diameter times.
+            closure = base
+            while True:
+                left = closure.select(
+                    F.col("_src"), F.col("_dst").alias("_mid")
+                )
+                right = closure.select(
+                    F.col("_src").alias("_mid"), F.col("_dst").alias("_nd")
+                )
+                nxt = (
+                    left.join(right, on="_mid")
+                    .select("_src", F.col("_nd").alias("_dst"))
+                    .distinct()
+                )
+                new = nxt.join(closure, on=["_src", "_dst"], how="left_anti")
+                new = new.localCheckpoint(eager=True)
+                rounds += 1
+                if new.isEmpty():
+                    self.last_path_stats = {"mode": "full", "rounds": rounds}
+                    return closure
+                closure = closure.unionByName(new).localCheckpoint(eager=True)
         closure = base
         frontier = base
         hop = base.select(
             F.col("_src").alias("_mid"), F.col("_dst").alias("_nd")
         )
-        rounds = 0
         while True:
             nxt = (
                 frontier.join(hop, frontier["_dst"] == hop["_mid"])
@@ -766,6 +806,37 @@ class SparqlEngine:
                 F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
             )
         ).distinct().localCheckpoint(eager=True)
+        if e.count() <= _DRIVER_PATH_MAX_EDGES:
+            # small-input arm: collect the (already checkpointed)
+            # edge list and BFS on the driver — one collect replaces
+            # ~2 jobs per hop.  Round accounting identical to the
+            # distributed loop (the terminating empty frontier counts);
+            # output bounded by the node set, so the collect bound is
+            # the same scalar-bounded class as components'.
+            adj: dict[str, list[str]] = {}
+            for r in e.collect():
+                if r["_src"] is not None and r["_dst"] is not None:
+                    adj.setdefault(r["_src"], []).append(r["_dst"])
+            frontier_set = {seed}
+            reached_set: set[str] = set()
+            rounds = 0
+            while True:
+                nxt = {d for s in frontier_set for d in adj.get(s, ())}
+                new = nxt - reached_set
+                rounds += 1
+                if not new:
+                    break
+                reached_set |= new
+                frontier_set = new
+            self.last_path_stats = {"mode": "seeded", "rounds": rounds}
+            out = sorted(reached_set)
+            if forward:
+                return spark.createDataFrame(
+                    [(seed, n) for n in out], "_src string, _dst string"
+                )
+            return spark.createDataFrame(
+                [(n, seed) for n in out], "_src string, _dst string"
+            )
         frontier = spark.createDataFrame([(seed,)], "_src string")
         reached = spark.createDataFrame([], "_n string")
         rounds = 0
