@@ -45,6 +45,39 @@ def find_related_entities(
     ).where(F.col("object").startswith("http"))
     edges = fwd.unionByName(rev)
 
+    # small-input arm: ONE limit-collect dispatches and fetches in the
+    # same job — if at most _DRIVER_MAX_EDGES rows come back we hold
+    # the complete edge list and BFS on the driver (output bounded by
+    # the node set; identical frontier/visited semantics to the loop
+    # below, which costs ~3 jobs per hop plus a full graph-lineage
+    # recompute per hop).  One extra row means the graph is bigger
+    # than the bound and the distributed loop runs unchanged.
+    from rdf_knowledge_extractor_spark.operators.components import (
+        _DRIVER_MAX_EDGES,
+    )
+
+    sample = edges.limit(_DRIVER_MAX_EDGES + 1).collect()
+    if len(sample) <= _DRIVER_MAX_EDGES:
+        adj: dict[str, list[str]] = {}
+        for r in sample:
+            if r["src"] is not None and r["dst"] is not None:
+                adj.setdefault(r["src"], []).append(r["dst"])
+        frontier_set = {entity_uri}
+        visited = {entity_uri}
+        related_set: set[str] = set()
+        for _ in range(max_depth):
+            new = {
+                d for s in frontier_set for d in adj.get(s, ())
+            } - visited
+            if not new:
+                break
+            related_set |= new
+            visited |= new
+            frontier_set = new
+        return spark.createDataFrame(
+            [(n,) for n in sorted(related_set)], "entity string"
+        )
+
     frontier = spark.createDataFrame([(entity_uri,)], "src string")
     visited = frontier.select(F.col("src").alias("entity"))
     related = spark.createDataFrame([], "entity string")

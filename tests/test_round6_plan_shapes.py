@@ -283,3 +283,33 @@ def test_driver_unionfind_matches_distributed_cc(spark):
     got2 = {r.node: r.component for r in _components_driver(df2, "src", "dst").collect()}
     assert got2 == want2
     assert _components_driver(df2, "src", "dst").schema["node"].dataType.simpleString() == "bigint"
+
+
+def test_traversal_driver_arm_matches_distributed_loop(spark, monkeypatch):
+    """find_related_entities' small-input driver BFS must reproduce the
+    distributed frontier loop exactly (both directions, URI-ish
+    filters, visited semantics, depth cap)."""
+    from rdf_knowledge_extractor_spark.operators import traversal as T
+
+    rows = [
+        ("http://x/a", "p", "http://x/b"),
+        ("http://x/b", "p", "http://x/c"),
+        ("http://x/c", "p", "lit-not-uri"),
+        ("http://x/d", "p", "http://x/a"),      # reverse reach into a
+        ("http://x/e", "p", "http://x/e"),      # self loop
+        ("http://x/z1", "p", "http://x/z2"),    # disconnected
+    ]
+    g = spark.createDataFrame(rows, "subject string, predicate string, object string")
+
+    driver = {
+        r.entity
+        for r in T.find_related_entities(g, "http://x/a", max_depth=2).collect()
+    }
+    monkeypatch.setattr(
+        "rdf_knowledge_extractor_spark.operators.components._DRIVER_MAX_EDGES", 0
+    )
+    dist = {
+        r.entity
+        for r in T.find_related_entities(g, "http://x/a", max_depth=2).collect()
+    }
+    assert driver == dist and driver
