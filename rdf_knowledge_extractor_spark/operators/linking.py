@@ -116,16 +116,18 @@ def _minhash_band_udf(num_perm: int, bands: int, seed: int = 17):
     )
 
     # shingle budget per vectorized chunk: sized so the (ΣS × P) hash
-    # matrix (chunk × 64 perms × 8 B ≈ 2 MB) plus its one temp stays
-    # inside a core's slice of shared cache.  The hash computation makes
-    # ~9 full passes over the matrix (multiply, add, three mod-fold
-    # steps, reduceat), so a cache-resident chunk turns those passes
-    # into cache hits instead of DRAM round-trips — measured on this
-    # box: 32 concurrent workers at chunk=50k (25 MB matrix) ran 4×
-    # slower than chunk=4k purely from memory-bandwidth contention
-    # (2.48 s → 0.62 s for the same sketch workload).  Same bound
-    # protects worker RSS under many concurrent python workers.
-    _CHUNK_SHINGLES = 4_000
+    # matrix (chunk × 64 perms × 8 B ≈ 512 KB) plus its one temp stays
+    # inside a core's PRIVATE L2.  The hash computation makes ~9 full
+    # passes over the matrix (multiply, add, three mod-fold steps,
+    # reduceat), so a cache-resident chunk turns those passes into
+    # cache hits instead of DRAM round-trips under 32 concurrent
+    # python workers.  Re-swept on the round-6 measurement box
+    # (32-way ProcessPool, same math, 560k shingles/worker):
+    # chunk 50k → 2.19 s, 16k → 1.44, 4k → 0.76-0.82, and a flat
+    # plateau 0.56-0.59 s across 500-2000; 1000 sits mid-plateau with
+    # the fewest python-loop iterations.  Same bound protects worker
+    # RSS under many concurrent workers.
+    _CHUNK_SHINGLES = 1_000
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bands_of(hashed: pd.Series) -> pd.Series:

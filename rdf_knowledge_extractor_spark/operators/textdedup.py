@@ -481,8 +481,11 @@ def _simhash_from_hashes(hashed: pd.Series) -> pd.Series:
     out = np.zeros(n_rows, dtype=np.uint64)
     bitcols = np.arange(64, dtype=np.uint64)[None, :]
     # chunk by shingle budget — bounds the (ΣS × 64) bit matrix per
-    # python worker (many run concurrently; see linking.bands_of)
-    CHUNK = 100_000
+    # python worker (many run concurrently; see linking.bands_of).
+    # 100k chunks put ~51 MB of int32 bit/±1 matrices through each pass —
+    # far past per-core cache; 8k (~4 MB) follows the cache-resident
+    # sweep done for the minhash chunk on the round-6 box.
+    CHUNK = 8_000
     start = 0
     while start < n_rows:
         end, budget = start, 0
