@@ -488,7 +488,11 @@ def q_kg_validation_filter(spark, sf):
 def q_kg_validation_issues(spark, sf):
     from rdf_knowledge_extractor_spark.operators.validate import validation_issues
 
-    return validation_issues(derive_triples(_docs(spark, sf)))
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: per-triple validation regexes over the 6× Generate of a
+    # one-row-group scan
+    return validation_issues(derive_triples(_spread(_docs(spark, sf))))
 
 
 def q_kg_ntriples_strict(spark, sf):
@@ -764,7 +768,11 @@ def q_text_quality_percentiles(spark, sf):
         quality_percentiles,
     )
 
-    return quality_percentiles(_docs(spark, sf), exact=True)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: metric computation + exact per-group percentiles
+    # otherwise hang off a one-row-group scan's single task
+    return quality_percentiles(_spread(_docs(spark, sf)), exact=True)
 
 
 def q_docs_rollup(spark, sf):
@@ -986,7 +994,11 @@ def q_corpus_links(spark, sf):
         with_extracted_links,
     )
 
-    d = _docs(spark, sf)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: one WHATWG parse per page in a pandas UDF — a
+    # one-row-group scan serializes the whole corpus in one task
+    d = _spread(_docs(spark, sf))
     sid = F.concat(d.source, (d.doc_id % 9).cast("string"))
     html = F.concat(
         F.lit("<html><body><p>doc</p><a href=\"https://"),
@@ -1420,8 +1432,13 @@ def q_events_profile(spark, sf):
         table_profile,
     )
 
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the Expand (×k columns) multiplies the scan output
+    # BEFORE the partial aggregate — from a one-row-group scan that
+    # is k× the table in a single task
     return table_profile(
-        _events(spark, sf),
+        _spread(_events(spark, sf)),
         ["event_id", "user_id", "event_type", "value", "props"],
     )
 
