@@ -351,8 +351,12 @@ def minhash_lsh_pairs(
     # UnsafeRows once and truncates the plan.  Same trade (and the
     # same block-release caveat) as linking.link_entities' entity
     # table; measured −0.4 s end-to-end vs persist at sf1-scale.
+    # LAZY (eager=False): the first action (the dispatch-stats job)
+    # materializes the blocks anyway, so an eager checkpoint only adds
+    # a separate driver job — interleaved A/B: lazy 3.8-4.0 s vs eager
+    # 4.1 s end-to-end warm.
     sh = _with_hashed_shingles(_spread(docs), id_col, text_col, k).localCheckpoint(
-        eager=True
+        eager=False
     )
     bands_of = _minhash_band_udf(num_perm, bands)
     # candidate generation: ONE shuffle (groupBy band key) + in-array
