@@ -168,18 +168,21 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(text)
 
 
-def char_shingles(text: Column, k: int = 9) -> Column:
-    """Distinct character k-gram array (pure Catalyst)."""
+def char_shingles(text: Column, k: int = 9, distinct: bool = True) -> Column:
+    """Character k-gram array (pure Catalyst); distinct by default.
+
+    `distinct=False` skips the string-level hash-set pass for callers
+    that deduplicate later at a cheaper level (e.g. the minhash path
+    distincts the int64 hashes instead — same set, pointwise hashing).
+    """
     n = F.length(text)
-    return F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: text.substr(i, F.lit(k)),
-            )
-        ),
-    ).otherwise(F.array(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: text.substr(i, F.lit(k)),
+    )
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n >= k, grams).otherwise(F.array(text))
 
 
 def char_bigram_entropy(

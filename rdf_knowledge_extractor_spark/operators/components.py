@@ -1,12 +1,18 @@
 """Connected components on a DataFrame edge list.
 
-Two algorithms behind one dispatcher:
+Three algorithms behind one dispatcher:
 
+- **driver union-find** (`_components_driver`) — the ≤100k-edge arm:
+  one collect + path-compressed union-find, min-label semantics; at
+  this size the distributed loops' per-round driver jobs ARE the
+  cost.  NULL endpoints are out of the component contract (an entity
+  id is never NULL; the two distributed arms historically disagreed
+  on them — labelprop emitted a NULL node, star arm dropped the
+  edge — the driver arm keeps non-NULL endpoints as isolated nodes).
 - **label propagation** (`connected_components_labelprop`) — min-label
-  flooding; O(component diameter) rounds.  Near-star alias clusters
-  converge in 2-4 rounds and each round is a single cheap join, so it
-  is the fast path for SMALL edge sets (driver job-latency floor
-  dominates there).
+  flooding; O(component diameter) rounds; kept as a directly-callable
+  algorithm (and differential-test twin) but no longer dispatched —
+  the driver arm covers its former small-input band.
 - **alternating large-star / small-star**
   (`connected_components_star`) — Kiveris et al., "Connected
   Components in MapReduce and Beyond" (cited in PAPERS.md; SURVEY
@@ -31,11 +37,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-# below this many edges the per-round job-latency floor dominates and
-# label propagation (1 join/round, star-shaped inputs converge in 2-4
-# rounds) beats the 2-phase star rounds
-_LABELPROP_MAX_EDGES = 100_000
 
 # below this many edges the whole component computation fits the
 # driver comfortably (≤ a few MB of node strings — the same
@@ -104,8 +105,9 @@ def connected_components(
     for strings) reachable from `node`.  Isolated nodes appear iff they
     appear in `edges` (self-loops allowed).
 
-    Dispatches: label propagation for small edge sets, alternating
-    large-star/small-star at scale (see module docstring)."""
+    Dispatches: driver-side union-find for small edge sets,
+    alternating large-star/small-star at scale (see module
+    docstring)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     n_edges = e.count()
     try:

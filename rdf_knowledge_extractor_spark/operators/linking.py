@@ -61,18 +61,13 @@ def key_shingles(key) -> "F.Column":
     """char-3-gram shingle array of a canonical-key column (the
     shingles are a pure function of the key — shared by
     with_canonical_key and the representative fast path in
-    link_entities)."""
-    n = F.length(key)
-    # `substring(col, i, 3)` with a dynamic start needs expr-style substr:
-    return F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(2)),
-                lambda i: key.substr(i, F.lit(3)),
-            )
-        ),
-    ).otherwise(F.array(key))
+    link_entities).  Delegates to the shared char_shingles helper so
+    the k-gram expression has one definition."""
+    from rdf_knowledge_extractor_spark.functions.text_analysis import (
+        char_shingles,
+    )
+
+    return char_shingles(key, 3)
 
 
 def with_canonical_key(entities: DataFrame, uri_col: str = "uri") -> DataFrame:
@@ -226,13 +221,23 @@ def prefix_candidate_pairs(
                 ).alias("by_rarity")
             )
         )
+        # prefix length ⌊(1−t)·n⌋ + 1 with an epsilon BEFORE the
+        # floor: in IEEE754 (1−0.9)·10 = 0.9999999999999998, whose
+        # bare floor truncates the prefix one short and silently
+        # breaks the exact-recall theorem (a J=0.9 pair at t=0.9 was
+        # missed — pinned in tests).  The epsilon only ever errs
+        # toward a LONGER prefix (a candidate superset, removed by
+        # the exact verifier), never shorter.
         prefix = ranked.select(
             "id",
             F.explode(
                 F.slice(
                     "by_rarity",
                     1,
-                    (F.floor((1 - threshold) * F.size("by_rarity")) + F.lit(1)).cast("int"),
+                    (
+                        F.floor((1 - threshold) * F.size("by_rarity") + F.lit(1e-9))
+                        + F.lit(1)
+                    ).cast("int"),
                 )
             ).alias("g"),
         )

@@ -196,8 +196,7 @@ def _with_hashed_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -
     per-document array_sort was a pure waste of a pass (measured ~15%
     of the shingle stage at sf1).
 
-    Hash FIRST, distinct ONCE on the longs: `char_shingles` runs its
-    own `array_distinct` over the k-gram strings, so the previous
+    Hash FIRST, distinct ONCE on the longs: the previous
     distinct(hash(distinct(strings))) paid two hash-set passes — one
     building a string-keyed set (hashing every multi-byte gram), one
     on the longs.  distinct(hash(all grams)) is the same set: hashing
@@ -205,15 +204,7 @@ def _with_hashed_shingles(docs: DataFrame, id_col: str, text_col: str, k: int) -
     level, and any cross-string collision merges identically in both
     forms.  One O(S) string-set pass eliminated from the hottest
     minhash stage."""
-    text = F.col(text_col)
-    n = F.length(text)
-    raw_grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(k - 1)),
-            lambda i: text.substr(i, F.lit(k)),
-        ),
-    ).otherwise(F.array(text))
+    raw_grams = char_shingles(F.col(text_col), k, distinct=False)
     return docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingle_hash_col(raw_grams)).alias("h"),
@@ -260,13 +251,22 @@ def ngram_jaccard_pairs(
             ).alias("by_rarity")
         )
     )
+    # epsilon before the floor: (1−t)·n computes BELOW the exact
+    # value in IEEE754 (e.g. (1−0.8)·290 = 57.999…), so the bare
+    # floor truncated the prefix one short and broke the exact-recall
+    # theorem for pairs at the threshold boundary; the epsilon errs
+    # only toward longer prefixes (candidate superset — the exact
+    # verifier removes them).  Pinned in tests/test_round6_plan_shapes.
     prefix = ranked.select(
         "id",
         F.explode(
             F.slice(
                 "by_rarity",
                 1,
-                (F.floor((1 - threshold) * F.size("by_rarity")) + F.lit(1)).cast("int"),
+                (
+                    F.floor((1 - threshold) * F.size("by_rarity") + F.lit(1e-9))
+                    + F.lit(1)
+                ).cast("int"),
             )
         ).alias("g"),
     )
@@ -404,10 +404,19 @@ def minhash_lsh_pairs(
         .collect()[0]
     )
     avg_h = stats["avg_w"] or 0.0
-    est_broadcast_bytes = float(stats["pairs"] or 0) * (avg_h * 8.0 + 32.0)
+    pair_bound = float(stats["pairs"] or 0)
+    est_broadcast_bytes = pair_bound * (avg_h * 8.0 + 32.0)
+    # BOTH broadcast decisions are gated on the measured bound: the
+    # slim (id_a, id_b) candidate list at ~24 B/pair must itself fit
+    # the budget (a pathological giant duplicate cluster can push the
+    # pair bound into the billions — broadcasting that would hit the
+    # 8 GB broadcast cap / driver OOM where the unhinted planner
+    # completes); the array-carrying half additionally needs
+    # pairs × mean-width bytes to fit.  Above the budget the verify
+    # falls back to planner-chosen joins (the r5-proven robust shape).
     out = _verified_pairs(
         cands, a, b, "h_a", "h_b", threshold,
-        broadcast_candidates=True,
+        broadcast_candidates=pair_bound * 24.0 < 256 * 1024 * 1024,
         broadcast_halves=est_broadcast_bytes < 256 * 1024 * 1024,
     )
     return (out, report) if with_report else out

@@ -39,10 +39,13 @@ def find_related_entities(
     fwd = graph.select(
         F.col("subject").alias("src"), F.col("object").alias("dst")
     ).where(F.col("object").startswith("http"))
-    # reverse edges: current node (the object) must itself be URI-ish
+    # reverse edges: current node (the object) must itself be URI-ish;
+    # NULL subjects are dropped (they are not entities — previously a
+    # NULL-subject triple could surface a spurious NULL neighbor row,
+    # and the driver/distributed arms would diverge on it)
     rev = graph.select(
         F.col("object").alias("src"), F.col("subject").alias("dst")
-    ).where(F.col("object").startswith("http"))
+    ).where(F.col("object").startswith("http") & F.col("subject").isNotNull())
     edges = fwd.unionByName(rev)
 
     # small-input arm: ONE limit-collect dispatches and fetches in the

@@ -139,6 +139,15 @@ def _tokenize(text: str) -> list[str]:
 # fall back to the r4/r5 distributed loops above the bound.
 _DRIVER_PATH_MAX_EDGES = 100_000
 
+# the doubling arm's per-round cost scales with the CLOSURE, which the
+# edge count does not bound (a 100k-edge chain has a ~5e9-pair
+# closure); past this many closure pairs the loop abandons doubling
+# and restarts the work-optimal semi-naive iteration from the base
+# edges (restart, not resume: a mixed schedule would skip pairs whose
+# length-L prefix was found in an older round's closure, violating
+# the semi-naive frontier invariant)
+_DOUBLING_MAX_CLOSURE = 2_000_000
+
 
 class SparqlEngine:
     def __init__(self, graph: DataFrame):
@@ -735,7 +744,16 @@ class SparqlEngine:
         `_seeded_closure` instead (round-4 brief #3): O(reachable-
         from-seed) vs O(closure) — at web scale the difference between
         touching one entity's neighborhood and the whole graph."""
-        base = edges.select("_src", "_dst").distinct().localCheckpoint(eager=True)
+        # NULL endpoints are dropped up front: an RDF term is never
+        # NULL, a NULL never joins forward anyway, and keeping them
+        # let base/closure rows surface spurious NULL bindings (the
+        # driver/distributed arms would also diverge on them)
+        base = (
+            edges.select("_src", "_dst")
+            .filter(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         rounds = 0
         if base.count() <= _DRIVER_PATH_MAX_EDGES:
             # small-input arm: PATH DOUBLING — closure ∘ closure per
@@ -768,6 +786,8 @@ class SparqlEngine:
                     self.last_path_stats = {"mode": "full", "rounds": rounds}
                     return closure
                 closure = closure.unionByName(new).localCheckpoint(eager=True)
+                if closure.count() > _DOUBLING_MAX_CLOSURE:
+                    break  # restart semi-naive below (see constant note)
         closure = base
         frontier = base
         hop = base.select(
@@ -805,7 +825,13 @@ class SparqlEngine:
             else edges.select(
                 F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
             )
+        ).filter(
+            F.col("_src").isNotNull() & F.col("_dst").isNotNull()
         ).distinct().localCheckpoint(eager=True)
+        # NULL endpoints dropped above: a NULL destination could
+        # previously re-enter `new` every round (NULL never matches
+        # the reached anti-join) and surface as a spurious NULL
+        # binding — and the driver/distributed arms would diverge
         if e.count() <= _DRIVER_PATH_MAX_EDGES:
             # small-input arm: collect the (already checkpointed)
             # edge list and BFS on the driver — one collect replaces
