@@ -806,7 +806,12 @@ def q_corpus_quota(spark, sf):
 def q_corpus_curate(spark, sf):
     from rdf_knowledge_extractor_spark.operators.curation import curate_corpus
 
-    return curate_corpus(_docs(spark, sf), lang="en", min_words=10)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the quality-metric projection + filters otherwise run
+    # in the single task of a one-row-group scan (4.9 -> 1.3 s at
+    # sf1-scale); no-op at scale
+    return curate_corpus(_spread(_docs(spark, sf)), lang="en", min_words=10)
 
 
 def q_corpus_repetition(spark, sf):
@@ -876,7 +881,12 @@ def q_corpus_tfidf(spark, sf):
     (operators/tfidf.py)."""
     from rdf_knowledge_extractor_spark.operators.tfidf import tfidf_top_terms
 
-    return tfidf_top_terms(_docs(spark, sf), k=5)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the tokenization feeding both hash aggregates otherwise
+    # runs single-task off a one-row-group scan (5.2 -> 4.6 s at
+    # sf1-scale); no-op at scale
+    return tfidf_top_terms(_spread(_docs(spark, sf)), k=5)
 
 
 BM25_QUERIES = {
@@ -1198,7 +1208,12 @@ def q_corpus_chunks(spark, sf):
         chunk_documents,
     )
 
-    out = chunk_documents(_docs(spark, sf), chunk_tokens=32, stride=16)
+    from rdf_knowledge_extractor_spark.operators.textdedup import _spread
+
+    # _spread: the sliding-window Generate otherwise fans out in the
+    # single task of a one-row-group scan (4.9 -> 0.6 s at sf1-scale);
+    # no-op at scale
+    out = chunk_documents(_spread(_docs(spark, sf)), chunk_tokens=32, stride=16)
     return out.select(
         "doc_id", "chunk_idx", "n_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
